@@ -1,0 +1,14 @@
+"""Hand-evaluation ops: the compute-hot kernels of the engine.
+
+- ``ref_evaluator``: slow, obviously-correct Python oracle mirroring the
+  reference's naive combinatorial evaluator (``hand_evaluator.clj``).
+- ``evaluator``: branchless bitmask evaluator in pure jnp (vmap/jit-safe).
+- ``pallas_equity``: fused Pallas TPU kernel (sample + evaluate + reduce).
+"""
+
+from montecarlo_tpu.ops.ref_evaluator import ref_eval5, ref_eval_best  # noqa: F401
+from montecarlo_tpu.ops.evaluator import (  # noqa: F401
+    eval7_from_cards,
+    eval_masks,
+    suit_masks_from_cards,
+)

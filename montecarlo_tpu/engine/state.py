@@ -1,0 +1,210 @@
+"""Table state pytree and hand setup (deal, blinds, hand reset).
+
+The reference ``Board`` is a record of 14 fields, 10 of them STM refs
+(``board.clj:15-29``, ``init-board`` ``:140-157``), plus per-player state in
+a global database (``database.clj``). Here the whole table — board *and*
+players — is one flat pytree of int32/bool arrays, so a batch of tables is
+just a leading axis and a full betting hand is a ``lax.scan``.
+
+Array encodings of the reference's dynamic structures:
+
+- ``play-order`` (a lazy ``(cycle ids)`` with folds filtered, ``board.clj:21``)
+  becomes ``(button, cursor, order_mask)``: hand-order position ``j`` maps to
+  seat ``(button + j) % P``; the head is the first unmasked seat scanning
+  from ``cursor``. The button advances one seat per hand, replacing the
+  players-list rotation at ``gameplay.clj:136-137``.
+- ``(shuffle COMPLETE-DECK)`` (``board.clj:148``, ``gameplay.clj:145``)
+  becomes a counter-based threefry permutation keyed by (table key,
+  hand_idx) — reproducible and parallel-safe across millions of tables.
+- The deck is consumed eagerly at deal time: hole cards AND the five
+  community cards (with the reference's burn offsets, ``gameplay.clj:30-54``)
+  are materialized up front; streets merely reveal ``n_community``. Unrevealed
+  cards never influence pre-showdown state, so traces are unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from montecarlo_tpu.cards import NUM_CARDS
+from montecarlo_tpu.engine.bets import Layers, empty_layers
+
+I32 = jnp.int32
+
+
+@dataclass(frozen=True)
+class TableConfig:
+    """Static table parameters (shapes and defaults).
+
+    Defaults mirror the reference: 100-chip starting stacks
+    (``database.clj:31``), 5/10 blinds (``server.clj:61``).
+    """
+
+    num_seats: int
+    small_blind: int = 5
+    big_blind: int = 10
+    starting_stack: int = 100
+    max_layers: int = 12       # per-street bet layers (L)
+    max_pot_layers: int = 24   # accumulated across 4 streets (PL)
+
+
+class TableState(NamedTuple):
+    """Complete state of one table (batch tables by vmapping over a leading
+    axis). All fields are fixed-shape jnp arrays."""
+
+    key: jax.Array          # u32 threefry key, fixed per table
+    hand_idx: jax.Array     # i32[] hand counter (deck = f(key, hand_idx))
+    deck: jax.Array         # i32[52] permutation of card ids
+    hole: jax.Array         # i32[P, 2] hole cards by seat
+    community: jax.Array    # i32[5] materialized at deal, revealed by stage
+    n_community: jax.Array  # i32[] cards currently revealed
+    stage: jax.Array        # i32[] 0 preflop, 1 flop, 2 turn, 3 river
+    time: jax.Array         # i32[] logical clock, +1 per action
+    button: jax.Array       # i32[] hand-order offset (rotates each hand)
+    cursor: jax.Array       # i32[] play-order scan start (hand-order space)
+    in_hand: jax.Array      # bool[P] reference :players membership
+    folded: jax.Array       # bool[P] filtered out of play-order
+    order_mask: jax.Array   # bool[P] current play-order cycle membership
+    to_act: jax.Array       # bool[P] reference :remaining-players
+    stacks: jax.Array       # i32[P] chips (global per player; may go negative)
+    bets: Layers            # current street layers
+    pots: Layers            # accumulated pot layers
+    small_blind: jax.Array  # i32[]
+    big_blind: jax.Array    # i32[]
+    hand_over: jax.Array    # bool[] latched at game end (single-hand mode)
+
+    @property
+    def num_seats(self) -> int:
+        return self.hole.shape[0]
+
+
+def init_state(key: jax.Array, cfg: TableConfig) -> TableState:
+    """Fresh table: full stacks, button at seat 0, first hand dealt."""
+    P = cfg.num_seats
+    ones = jnp.ones((P,), jnp.bool_)
+    state = TableState(
+        key=key,
+        hand_idx=jnp.zeros((), I32),
+        deck=jnp.arange(NUM_CARDS, dtype=I32),
+        hole=jnp.zeros((P, 2), I32),
+        community=jnp.zeros((5,), I32),
+        n_community=jnp.zeros((), I32),
+        stage=jnp.zeros((), I32),
+        time=jnp.zeros((), I32),
+        button=jnp.zeros((), I32),
+        cursor=jnp.zeros((), I32),
+        in_hand=ones,
+        folded=jnp.zeros((P,), jnp.bool_),
+        order_mask=ones,
+        to_act=ones,
+        stacks=jnp.full((P,), cfg.starting_stack, I32),
+        bets=empty_layers(cfg.max_layers, P),
+        pots=empty_layers(cfg.max_pot_layers, P),
+        small_blind=jnp.asarray(cfg.small_blind, I32),
+        big_blind=jnp.asarray(cfg.big_blind, I32),
+        hand_over=jnp.zeros((), jnp.bool_),
+    )
+    return begin_hand(state)
+
+
+def _seat_at(state: TableState, order_pos) -> jax.Array:
+    """Seat occupying hand-order position ``order_pos``."""
+    return (state.button + order_pos) % state.num_seats
+
+
+def begin_hand(state: TableState) -> TableState:
+    """Reset per-hand state, shuffle, post blinds, deal (the tail of
+    ``gameplay.clj:122-150`` plus ``play-blinds``/``deal-hand``).
+
+    Caller is responsible for ``button``/``hand_idx`` (advanced by
+    ``next_hand``; left alone for the first hand).
+    """
+    P = state.num_seats
+    from montecarlo_tpu.engine.bets import update_bets  # local: avoid cycle
+
+    deck = jax.random.permutation(
+        jax.random.fold_in(state.key, state.hand_idx), NUM_CARDS
+    ).astype(I32)
+
+    # deal-hand (gameplay.clj:63-75): one card at a time round-robin in hand
+    # order, so order-position j receives deck[j] and deck[P + j].
+    j = (jnp.arange(P) - state.button) % P  # hand-order position of each seat
+    hole = jnp.stack([deck[j], deck[P + j]], axis=1)
+    # Streets with burns (gameplay.clj:30-54): burn 1 + flop 3, burn 1 +
+    # turn 1, burn 1 + river 1, starting right after the 2P hole cards.
+    base = 2 * P
+    community = jnp.stack([
+        deck[base + 1], deck[base + 2], deck[base + 3],  # flop
+        deck[base + 5],                                   # turn
+        deck[base + 7],                                   # river
+    ])
+
+    ones = jnp.ones((P,), jnp.bool_)
+    bets = empty_layers(state.bets.capacity, P)
+
+    # play-blinds (gameplay.clj:77-88): order-position 0 posts small,
+    # position 1 posts big; play-order drops 2; blinds do not touch
+    # remaining-players or the clock.
+    sb_seat = _seat_at(state, 0)
+    bb_seat = _seat_at(state, 1)
+    stacks = state.stacks
+    stacks = stacks.at[sb_seat].add(-state.small_blind)
+    bets = update_bets(bets, state.small_blind, sb_seat)
+    stacks = stacks.at[bb_seat].add(-state.big_blind)
+    bets = update_bets(bets, state.big_blind, bb_seat)
+
+    return state._replace(
+        deck=deck,
+        hole=hole,
+        community=community,
+        n_community=jnp.zeros((), I32),
+        stage=jnp.zeros((), I32),
+        time=jnp.zeros((), I32),
+        cursor=jnp.full((), 2 % P, I32),
+        in_hand=ones,
+        folded=jnp.zeros((P,), jnp.bool_),
+        order_mask=ones,
+        to_act=ones,
+        stacks=stacks,
+        bets=bets,
+        pots=empty_layers(state.pots.capacity, P),
+        hand_over=jnp.zeros((), jnp.bool_),
+    )
+
+
+def redeal(state: TableState, deck) -> TableState:
+    """Re-derive hole/community cards from an injected deck order.
+
+    Conformance tool: seeded single-table traces are validated against the
+    reference by injecting an explicit deck (bit-exactness vs Clojure's
+    ``java.util.Random`` shuffle is neither possible nor meaningful; the
+    *consumption order* is what's conformant — ``gameplay.clj:63-75``).
+    Betting state (blinds already posted by ``begin_hand``) is untouched.
+    """
+    P = state.num_seats
+    deck = jnp.asarray(deck, I32)
+    j = (jnp.arange(P) - state.button) % P
+    hole = jnp.stack([deck[j], deck[P + j]], axis=1)
+    base = 2 * P
+    community = jnp.stack([
+        deck[base + 1], deck[base + 2], deck[base + 3],
+        deck[base + 5],
+        deck[base + 7],
+    ])
+    return state._replace(deck=deck, hole=hole, community=community)
+
+
+def next_hand(state: TableState) -> TableState:
+    """Advance the button (players-list rotation, ``gameplay.clj:136-137``),
+    bump the hand counter, and deal the next hand. Stacks persist; busted
+    players are never eliminated (reference quirk — blinds may drive stacks
+    negative, ``gameplay.clj:83-88``)."""
+    P = state.num_seats
+    return begin_hand(state._replace(
+        button=(state.button + 1) % P,
+        hand_idx=state.hand_idx + 1,
+    ))

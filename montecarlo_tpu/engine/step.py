@@ -1,0 +1,244 @@
+"""The pure table step: actions, street transitions, showdown settlement.
+
+This is the array-program replacement for the reference's actor hot path
+(``board.clj:31-97`` ActionP impl + ``board-action`` ``:122-129`` +
+``gameplay.clj`` street/showdown logic). One action = one call of
+``step_action``; a full hand is a bounded ``lax.scan`` of it. Everything is
+branch-free (``jnp.where`` selects between candidate states), so the same
+code drives a single interactive table from the host and millions of
+vmapped self-play tables on device.
+
+Bit-exactly preserved reference semantics (each with a citation):
+
+- Action encoding: negative = fold, 0 = call/check, positive = raise-by-amt
+  (``action.clj:12-29``).
+- Fold removes the seat from every bet layer's members and from the
+  play-order *by filtering* (head does not advance) (``board.clj:33-44``).
+- Call threads the full standing total through the layers; paying exactly
+  the remaining stack is an all-in that also removes the seat from
+  ``:players`` — excluding it from showdown evaluation (``board.clj:45-71``).
+- Raise threads ``r + total``; all-in on exact equality; remaining-players
+  resets to everyone-in-hand-but-the-raiser (``board.clj:72-97``).
+- Street ends when remaining-players empties; hand ends when <=1 player
+  remains in ``:players`` or the river street completes
+  (``gameplay.clj:15-24``).
+- Pot resolution: per pot layer, winners are the highest-valued *in-hand*
+  players among the layer's members; each gets ``(bet * n) // |winners|``
+  — integer division, remainder chips vanish (``gameplay.clj:104-116``).
+
+Documented divergences (reference behavior is a crash, not a semantic):
+
+- A pot layer whose members are all folded/all-in pays nobody (the reference
+  divides by zero, ``gameplay.clj:112``).
+- Showdowns with zero in-hand players (everyone all-in) pay nobody (the
+  reference crashes evaluating an empty winner list).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from montecarlo_tpu.engine.bets import (
+    Layers,
+    empty_layers,
+    merge_bets,
+    needed_bet,
+    remove_player,
+    total_bet,
+    update_bets,
+)
+from montecarlo_tpu.engine.state import TableState, next_hand
+from montecarlo_tpu.ops.evaluator import eval7_from_cards
+
+I32 = jnp.int32
+
+
+def head_info(state: TableState) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(head seat, cursor-after-rest, head exists).
+
+    The head is the first seat still in the play-order cycle, scanning
+    hand-order positions from ``cursor`` (the array form of taking the first
+    element of the reference's filtered lazy cycle, ``board.clj:34``).
+    """
+    P = state.num_seats
+    offsets = (state.cursor + jnp.arange(P)) % P
+    seats = (state.button + offsets) % P
+    mask = state.order_mask[seats]
+    k = jnp.argmax(mask)
+    seat = seats[k]
+    exists = jnp.any(mask)
+    cursor_after = (offsets[k] + 1) % P
+    return seat, cursor_after, exists
+
+
+def clamp_action(state: TableState, action) -> jax.Array:
+    """Player-side validation layer (``player.clj:24-32``): raises are
+    clamped to ``[0, stack - needed]`` — an unaffordable raise becomes a
+    call. Fold/call pass through."""
+    seat, _, _ = head_info(state)
+    cap = state.stacks[seat] - needed_bet(state.bets, seat)
+    clamped = jnp.maximum(0, jnp.minimum(action, cap))
+    return jnp.where(action > 0, clamped, action)
+
+
+def _select_tree(pred, a, b):
+    return jax.tree.map(lambda xa, xb: jnp.where(pred, xa, xb), a, b)
+
+
+def apply_action(state: TableState, action) -> TableState:
+    """Apply one fold/call/raise by the current head (``board.clj:31-97``).
+
+    Unconditional — callers gate on ``hand_over``/head existence.
+    """
+    P = state.num_seats
+    seat, cursor_after, _ = head_info(state)
+    onehot = jnp.arange(P) == seat
+
+    is_fold = action < 0
+    is_raise = action > 0
+    is_call = action == 0
+    r = jnp.maximum(action, 0).astype(I32)
+
+    bets = state.bets
+    bet_amt = total_bet(bets)
+    delta = needed_bet(bets, seat)
+    stack = state.stacks[seat]
+
+    is_check = is_call & (bet_amt == 0)
+    threads = (is_call & (bet_amt > 0)) | is_raise
+
+    amount = jnp.where(is_raise, r + bet_amt, bet_amt)
+    threaded = update_bets(bets, amount, seat)
+    after_fold = merge_bets(remove_player(bets, seat))
+    after_check = merge_bets(bets)
+    new_bets = _select_tree(
+        is_fold, after_fold, _select_tree(is_check, after_check, threaded))
+
+    paid = jnp.where(threads, jnp.where(is_raise, delta + r, delta), 0)
+    all_in = threads & (paid == stack)
+
+    in_hand = state.in_hand & ~(onehot & (is_fold | all_in))
+    to_act = jnp.where(is_raise, in_hand & ~onehot, state.to_act & ~onehot)
+
+    return state._replace(
+        time=state.time + 1,
+        bets=new_bets,
+        stacks=state.stacks - jnp.where(onehot, paid, 0),
+        in_hand=in_hand,
+        folded=state.folded | (onehot & is_fold),
+        order_mask=state.order_mask & ~(onehot & is_fold),
+        to_act=to_act,
+        cursor=jnp.where(is_fold, state.cursor, cursor_after),
+    )
+
+
+def stage_end(state: TableState) -> jax.Array:
+    """remaining-players empty (``gameplay.clj:15-17``)."""
+    return ~jnp.any(state.to_act)
+
+
+def game_end(state: TableState) -> jax.Array:
+    """<=1 in-hand player, or river street complete (``gameplay.clj:19-24``)."""
+    return (jnp.sum(state.in_hand) <= 1) | (stage_end(state) & (state.stage == 3))
+
+
+def append_layers(dst: Layers, src: Layers) -> Layers:
+    """``(concat pots bets)`` on fixed-shape layer matrices."""
+    PL = dst.capacity
+    idx = jnp.arange(PL)
+    src_idx = jnp.clip(idx - dst.count, 0, src.capacity - 1)
+    take = (idx >= dst.count) & (idx < dst.count + src.count)
+    return Layers(
+        amt=jnp.where(take, jnp.take(src.amt, src_idx), dst.amt),
+        mem=jnp.where(take[:, None], jnp.take(src.mem, src_idx, axis=0), dst.mem),
+        orig=jnp.where(take[:, None], jnp.take(src.orig, src_idx, axis=0), dst.orig),
+        n=jnp.where(take, jnp.take(src.n, src_idx), dst.n),
+        count=jnp.minimum(dst.count + src.count, PL),
+        overflow=dst.overflow | src.overflow
+        | (dst.count + src.count > PL),
+    )
+
+
+def stage_transition(state: TableState) -> TableState:
+    """Deal the next street and reset the betting round
+    (``gameplay.clj:94-102``): flop 3 / turn 1 / river 1 revealed, bets move
+    onto the pots, remaining-players and play-order rebuild from ``:players``
+    (all-in seats drop out of the order here)."""
+    reveal = jnp.where(state.stage == 0, 3, 1)
+    return state._replace(
+        n_community=state.n_community + reveal,
+        to_act=state.in_hand,
+        pots=append_layers(state.pots, state.bets),
+        bets=empty_layers(state.bets.capacity, state.num_seats),
+        order_mask=state.in_hand,
+        cursor=jnp.zeros((), I32),
+        stage=state.stage + 1,
+    )
+
+
+def hand_values(state: TableState) -> jax.Array:
+    """Packed 7-card values per seat (hole + full community)."""
+    P = state.num_seats
+    cards = jnp.concatenate(
+        [state.hole, jnp.broadcast_to(state.community, (P, 5))], axis=1)
+    return eval7_from_cards(cards)
+
+
+def settle_showdown(state: TableState) -> TableState:
+    """End-of-hand pot resolution (``gameplay.clj:122-133``): flush street
+    bets into the pots, evaluate in-hand players, pay each pot layer to its
+    best eligible members (integer split; remainders vanish)."""
+    pots = append_layers(state.pots, state.bets)
+    values = hand_values(state).astype(jnp.uint32)
+
+    PL = pots.capacity
+    valid = (jnp.arange(PL) < pots.count)[:, None]
+    elig = pots.mem & state.in_hand[None, :] & valid  # [PL, P]
+    vmax = jnp.max(jnp.where(elig, values[None, :], 0), axis=1)
+    winners = elig & (values[None, :] == vmax[:, None])
+    cnt = jnp.sum(winners, axis=1)
+    total_pot = pots.amt * pots.n
+    share = jnp.where(cnt > 0, total_pot // jnp.maximum(cnt, 1), 0)
+    payout = jnp.sum(jnp.where(winners, share[:, None], 0), axis=0)
+
+    return state._replace(
+        stacks=state.stacks + payout,
+        pots=pots,
+        bets=empty_layers(state.bets.capacity, state.num_seats),
+        hand_over=jnp.ones((), jnp.bool_),
+    )
+
+
+def step_action(state: TableState, action) -> TableState:
+    """One action plus street bookkeeping, *without* paying the showdown
+    (single-hand rollout form — settle once after the scan with
+    ``settle_showdown``). No-op when the hand is already over.
+
+    Mirrors ``board-action`` (``board.clj:122-129``): act, then either latch
+    game end or transition the street.
+    """
+    _, _, exists = head_info(state)
+    acted = apply_action(state, action)
+    ended = game_end(acted)
+    transitioned = _select_tree(
+        stage_end(acted) & ~ended, stage_transition(acted), acted)
+    out = transitioned._replace(hand_over=transitioned.hand_over | ended)
+    return _select_tree(state.hand_over | ~exists, state, out)
+
+
+def step_table(state: TableState, action) -> TableState:
+    """Full continuous-table step (the server / perpetual-game form,
+    ``gameplay.clj:122-150``): on game end, settle the showdown and
+    immediately deal the next hand — busted players and all."""
+    _, _, exists = head_info(state)
+    acted = apply_action(state, action)
+    ended = game_end(acted)
+    settled = next_hand(settle_showdown(acted)._replace(
+        hand_over=jnp.zeros((), jnp.bool_)))
+    transitioned = _select_tree(
+        stage_end(acted) & ~ended, stage_transition(acted), acted)
+    out = _select_tree(ended, settled, transitioned)
+    return _select_tree(~exists, state, out)

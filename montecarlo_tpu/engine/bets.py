@@ -75,11 +75,13 @@ def _valid(layers: Layers) -> jax.Array:
     return jnp.arange(layers.capacity) < layers.count
 
 
+@jax.jit
 def total_bet(layers: Layers) -> jax.Array:
     """Sum of all standing layer amounts (``helpers.clj:15-19``)."""
     return jnp.sum(jnp.where(_valid(layers), layers.amt, 0))
 
 
+@jax.jit
 def needed_bet(layers: Layers, seat) -> jax.Array:
     """Sum of layers the seat is not yet a member of (``helpers.clj:21-27``)."""
     unmet = _valid(layers) & ~layers.mem[:, seat]
@@ -99,6 +101,7 @@ def _added(layers: Layers, seat, row_mask) -> Layers:
     )
 
 
+@jax.jit
 def update_bets(layers: Layers, bet_amt, seat) -> Layers:
     """Thread a single-seat bet of ``bet_amt`` through the standing layers.
 
@@ -164,6 +167,7 @@ def update_bets(layers: Layers, bet_amt, seat) -> Layers:
     return sel(eq_out, sp, ap)
 
 
+@jax.jit
 def merge_bets(layers: Layers) -> Layers:
     """Coalesce adjacent layers with identical member & original-member sets
     (``bet.clj:10-27``): amounts sum, the **later** layer's ``n`` wins."""
@@ -195,6 +199,7 @@ def merge_bets(layers: Layers) -> Layers:
     )
 
 
+@jax.jit
 def remove_player(layers: Layers, seat) -> Layers:
     """Fold semantics (``board.clj:37-41``): drop the seat from every layer's
     members (never from original-players); callers then ``merge_bets``."""

@@ -27,7 +27,10 @@ def card_json(card: int) -> Dict:
 
 
 def _np(state: TableState) -> TableState:
-    return TableState(*[np.asarray(x) for x in state])
+    import jax
+
+    # Skip the PRNG key leaf (typed keys reject numpy conversion).
+    return jax.tree.map(np.asarray, state._replace(key=np.zeros(())))
 
 
 def _seat_ids(mask, ids: Sequence[str], order: Sequence[int]) -> List[str]:

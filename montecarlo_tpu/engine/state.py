@@ -116,6 +116,7 @@ def _seat_at(state: TableState, order_pos) -> jax.Array:
     return (state.button + order_pos) % state.num_seats
 
 
+@jax.jit
 def begin_hand(state: TableState) -> TableState:
     """Reset per-hand state, shuffle, post blinds, deal (the tail of
     ``gameplay.clj:122-150`` plus ``play-blinds``/``deal-hand``).
@@ -176,6 +177,7 @@ def begin_hand(state: TableState) -> TableState:
     )
 
 
+@jax.jit
 def redeal(state: TableState, deck) -> TableState:
     """Re-derive hole/community cards from an injected deck order.
 
@@ -198,6 +200,7 @@ def redeal(state: TableState, deck) -> TableState:
     return state._replace(deck=deck, hole=hole, community=community)
 
 
+@jax.jit
 def next_hand(state: TableState) -> TableState:
     """Advance the button (players-list rotation, ``gameplay.clj:136-137``),
     bump the hand counter, and deal the next hand. Stacks persist; busted

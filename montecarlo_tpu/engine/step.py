@@ -74,6 +74,7 @@ def head_info(state: TableState) -> Tuple[jax.Array, jax.Array, jax.Array]:
     return seat, cursor_after, exists
 
 
+@jax.jit
 def clamp_action(state: TableState, action) -> jax.Array:
     """Player-side validation layer (``player.clj:24-32``): raises are
     clamped to ``[0, stack - needed]`` — an unaffordable raise becomes a
@@ -88,6 +89,7 @@ def _select_tree(pred, a, b):
     return jax.tree.map(lambda xa, xb: jnp.where(pred, xa, xb), a, b)
 
 
+@jax.jit
 def apply_action(state: TableState, action) -> TableState:
     """Apply one fold/call/raise by the current head (``board.clj:31-97``).
 
@@ -187,6 +189,7 @@ def hand_values(state: TableState) -> jax.Array:
     return eval7_from_cards(cards)
 
 
+@jax.jit
 def settle_showdown(state: TableState) -> TableState:
     """End-of-hand pot resolution (``gameplay.clj:122-133``): flush street
     bets into the pots, evaluate in-hand players, pay each pot layer to its
@@ -212,6 +215,7 @@ def settle_showdown(state: TableState) -> TableState:
     )
 
 
+@jax.jit
 def step_action(state: TableState, action) -> TableState:
     """One action plus street bookkeeping, *without* paying the showdown
     (single-hand rollout form — settle once after the scan with
@@ -229,6 +233,7 @@ def step_action(state: TableState, action) -> TableState:
     return _select_tree(state.hand_over | ~exists, state, out)
 
 
+@jax.jit
 def step_table(state: TableState, action) -> TableState:
     """Full continuous-table step (the server / perpetual-game form,
     ``gameplay.clj:122-150``): on game end, settle the showdown and

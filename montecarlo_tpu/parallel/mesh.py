@@ -1,0 +1,166 @@
+"""Device-mesh sharded rollouts with ICI collectives.
+
+Design (scaling-book recipe): pick a 1D mesh over all chips ("tables" axis),
+keep every rollout's state resident on its device, and reduce only the tiny
+win/tie counters with ``psum`` — the only bytes that ever cross ICI. The
+mesh shape is discovered at runtime, so the same code runs on one chip, a
+v4-8 slice, or an 8-device CPU test mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from montecarlo_tpu.engine.state import TableConfig
+from montecarlo_tpu.ops.evaluator import eval_masks, suit_masks_from_cards
+from montecarlo_tpu.rollout.equity import (
+    EquityResult,
+    complement,
+    sample_distinct,
+)
+from montecarlo_tpu.rollout.selfplay import play_hands
+
+I32 = jnp.int32
+AXIS = "tables"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1D mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _local_counts(key, hero_masks, villain_masks, live, batch, n_chunks):
+    """Per-device rollout loop (runs inside shard_map)."""
+
+    def chunk(carry, i):
+        w, t = carry
+        slots = sample_distinct(jax.random.fold_in(key, i),
+                                live.shape[0], 5, batch)
+        board = jnp.take(live, slots, axis=0)
+        bm = suit_masks_from_cards(board)
+        vh = eval_masks(*[m | h for m, h in zip(bm, hero_masks)])
+        vv = eval_masks(*[m | v for m, v in zip(bm, villain_masks)])
+        return (w + jnp.sum((vh > vv).astype(I32)),
+                t + jnp.sum((vh == vv).astype(I32))), None
+
+    (w, t), _ = jax.lax.scan(
+        chunk, (jnp.zeros((), I32), jnp.zeros((), I32)), jnp.arange(n_chunks))
+    return w, t
+
+
+def sharded_equity_vs_hand(
+    mesh: Mesh,
+    key,
+    hero,
+    villain,
+    n_rollouts: int,
+    per_device_batch: int = 1 << 19,
+) -> EquityResult:
+    """Hand-vs-hand equity with rollouts sharded over the mesh and the
+    win/tie counters psum-reduced over ICI (BASELINE config 5's machinery)."""
+    n_dev = mesh.devices.size
+    hero = jnp.asarray(hero, I32)
+    villain = jnp.asarray(villain, I32)
+    batch = min(per_device_batch, max(1, n_rollouts // n_dev))
+    n_chunks = -(-n_rollouts // (batch * n_dev))
+
+    @partial(jax.jit, static_argnames=("batch", "n_chunks"))
+    def run(key, hero, villain, batch, n_chunks):
+        live = complement(jnp.concatenate([hero, villain]))
+        hm = suit_masks_from_cards(hero)
+        vm = suit_masks_from_cards(villain)
+
+        def shard_fn(key):
+            dev_key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+            w, t = _local_counts(dev_key, hm, vm, live, batch, n_chunks)
+            return (jax.lax.psum(w, AXIS), jax.lax.psum(t, AXIS))
+
+        return jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=P(), out_specs=P(),
+            check_vma=False)(key)
+
+    w, t = run(key, hero, villain, batch, n_chunks)
+    n = batch * n_chunks * n_dev
+    w, t = int(w), int(t)
+    return EquityResult(wins=w, ties=t, losses=n - w - t, n=n)
+
+
+def equity_sweep(
+    mesh: Mesh,
+    key,
+    heroes,
+    n_rollouts_per_hand: int,
+    per_device_batch: int = 1 << 14,
+):
+    """Equity-vs-random for a batch of hero hands (e.g. the 169 canonical
+    starting hands) — every device rolls its share for *all* hands; the
+    [H] win/tie counters psum over ICI. Returns (equity[H], n_per_hand).
+    """
+    heroes = jnp.asarray(heroes, I32)  # [Hh, 2]
+    n_dev = mesh.devices.size
+    batch = min(per_device_batch, max(1, n_rollouts_per_hand // n_dev))
+    n_chunks = -(-n_rollouts_per_hand // (batch * n_dev))
+
+    @partial(jax.jit, static_argnames=("batch", "n_chunks"))
+    def run(key, heroes, batch, n_chunks):
+        def one_hero(hkey, hero):
+            live = complement(hero)  # 50 live cards
+            hm = suit_masks_from_cards(hero)
+
+            def chunk(carry, i):
+                w, t = carry
+                slots = sample_distinct(jax.random.fold_in(hkey, i),
+                                        live.shape[0], 7, batch)
+                cards = jnp.take(live, slots, axis=0)
+                villain, board = cards[:, :2], cards[:, 2:]
+                bm = suit_masks_from_cards(board)
+                vh = eval_masks(*[m | h for m, h in zip(bm, hm)])
+                vv = eval_masks(*[m | v
+                                  for m, v in zip(bm, suit_masks_from_cards(villain))])
+                return (w + jnp.sum((vh > vv).astype(I32)),
+                        t + jnp.sum((vh == vv).astype(I32))), None
+
+            (w, t), _ = jax.lax.scan(
+                chunk, (jnp.zeros((), I32), jnp.zeros((), I32)),
+                jnp.arange(n_chunks))
+            return w, t
+
+        def shard_fn(key, heroes):
+            dev_key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+            hkeys = jax.random.split(dev_key, heroes.shape[0])
+            w, t = jax.vmap(one_hero)(hkeys, heroes)
+            return (jax.lax.psum(w, AXIS), jax.lax.psum(t, AXIS))
+
+        return jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+            check_vma=False)(key, heroes)
+
+    w, t = run(key, heroes, batch, n_chunks)
+    n = batch * n_chunks * n_dev
+    eq = (np.asarray(w) + 0.5 * np.asarray(t)) / n
+    return eq, n
+
+
+def sharded_selfplay(
+    mesh: Mesh,
+    key,
+    cfg: TableConfig,
+    tables_per_device: int = 1 << 12,
+    num_hands: int = 1,
+):
+    """Random-policy self-play with the tables axis sharded over the mesh
+    (BASELINE config 4 at scale). Pure data parallelism: per-table state
+    stays device-resident; jit + sharded inputs let XLA place the batch."""
+    n_dev = mesh.devices.size
+    n_tables = n_dev * tables_per_device
+    keys = jax.random.split(key, n_tables)
+    sharding = NamedSharding(mesh, P(AXIS))
+    keys = jax.device_put(keys, sharding)
+    return play_hands(keys, cfg, num_hands=num_hands)

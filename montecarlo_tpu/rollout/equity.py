@@ -1,0 +1,215 @@
+"""Monte Carlo equity estimation (the batched rollout API).
+
+This is the capability the reference was built to enable but never shipped
+("a reasonably performant poker server that can be used to test AIs",
+``README.md:9``): given hole cards, estimate win/tie equity by dealing
+random boards and ranking both 7-card hands with the bitmask evaluator.
+
+TPU design notes:
+
+- Sampling 5 (or 7) distinct cards from the live deck uses ordered
+  uniform draws with rank-shift correction — O(k^2) scalar ops per rollout,
+  no per-rollout sort or gather over the deck, so the whole rollout is a
+  fused elementwise XLA program over the batch axis.
+- Rollout batches never touch HBM as card arrays: cards become four int32
+  suit masks immediately and reduce to two counters (wins, ties).
+- Chunks scan inside one jit; counters are int32 (callers chunk above
+  ~2^31 rollouts per call — the host wrapper handles it).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_tpu.cards import NUM_CARDS, make_card
+from montecarlo_tpu.ops.evaluator import eval_masks, suit_masks_from_cards
+
+I32 = jnp.int32
+
+
+class EquityResult(NamedTuple):
+    wins: int
+    ties: int
+    losses: int
+    n: int
+
+    @property
+    def p_win(self) -> float:
+        return self.wins / self.n
+
+    @property
+    def equity(self) -> float:
+        """Win probability counting ties as half (standard equity)."""
+        return (self.wins + 0.5 * self.ties) / self.n
+
+    @property
+    def stderr(self) -> float:
+        p = self.equity
+        return float(np.sqrt(max(p * (1.0 - p), 1e-12) / self.n))
+
+    @property
+    def ci95(self) -> Tuple[float, float]:
+        p, se = self.equity, self.stderr
+        return (p - 1.96 * se, p + 1.96 * se)
+
+
+def complement(dead) -> jax.Array:
+    """Ascending card ids not in ``dead`` (shape [52 - len(dead)])."""
+    dead = jnp.asarray(dead, I32)
+    is_dead = jnp.zeros((NUM_CARDS,), jnp.bool_).at[dead].set(True)
+    order = jnp.argsort(is_dead, stable=True)
+    return order[: NUM_CARDS - dead.shape[0]].astype(I32)
+
+
+def sample_distinct(key, n_avail: int, k: int, batch: int) -> jax.Array:
+    """[batch, k] distinct uniform indices in [0, n_avail).
+
+    Ordered-draw construction: the i-th draw is uniform over the remaining
+    ``n_avail - i`` values and rank-shifted past previously-chosen values in
+    ascending order — a bijection onto the complement, so the result is an
+    exact uniform k-subset (with the per-rollout draw order preserved).
+    Purely elementwise over the batch: no sorting of the deck, no rejection.
+    """
+    keys = jax.random.split(key, k)
+    chosen = []          # draw order
+    sorted_chosen = []   # ascending
+    for i in range(k):
+        x = jax.random.randint(keys[i], (batch,), 0, n_avail - i, dtype=I32)
+        for c in sorted_chosen:
+            x = x + (x >= c)
+        # insert x into the ascending list (unrolled insertion)
+        new_sorted = []
+        placed = jnp.zeros((batch,), jnp.bool_)
+        carry = x
+        for c in sorted_chosen:
+            take_x = (carry < c) & ~placed
+            new_sorted.append(jnp.where(take_x, carry, c))
+            carry = jnp.where(take_x, c, carry)
+            placed = placed | take_x
+        new_sorted.append(carry)
+        sorted_chosen = new_sorted
+        chosen.append(x)
+    return jnp.stack(chosen, axis=1)
+
+
+def _versus_counts(key, hero_masks, villain_masks, live, batch: int):
+    """(wins, ties) over one batch of boards for fixed hero/villain holes."""
+    slots = sample_distinct(key, live.shape[0], 5, batch)
+    board = jnp.take(live, slots, axis=0)  # [batch, 5]
+    bm = suit_masks_from_cards(board)
+    vh = eval_masks(*[m | h for m, h in zip(bm, hero_masks)])
+    vv = eval_masks(*[m | v for m, v in zip(bm, villain_masks)])
+    return (jnp.sum((vh > vv).astype(I32)), jnp.sum((vh == vv).astype(I32)))
+
+
+@partial(jax.jit, static_argnames=("batch", "n_chunks"))
+def _equity_vs_hand_device(key, hero, villain, batch: int, n_chunks: int):
+    live = complement(jnp.concatenate([hero, villain]))
+    hero_masks = suit_masks_from_cards(hero)
+    villain_masks = suit_masks_from_cards(villain)
+
+    def chunk(carry, i):
+        w, t = carry
+        cw, ct = _versus_counts(
+            jax.random.fold_in(key, i), hero_masks, villain_masks, live, batch)
+        return (w + cw, t + ct), None
+
+    (w, t), _ = jax.lax.scan(
+        chunk, (jnp.zeros((), I32), jnp.zeros((), I32)), jnp.arange(n_chunks))
+    return w, t
+
+
+def _chunking(n_rollouts: int, batch_size: int) -> Tuple[int, int]:
+    batch = min(batch_size, n_rollouts)
+    n_chunks = -(-n_rollouts // batch)
+    return batch, n_chunks
+
+
+def equity_vs_hand(
+    key,
+    hero: Sequence[int],
+    villain: Sequence[int],
+    n_rollouts: int,
+    batch_size: int = 1 << 20,
+) -> EquityResult:
+    """Hero hole cards vs exact villain hole cards (BASELINE config 3).
+
+    ``n_rollouts`` is rounded up to a whole number of batches.
+    """
+    hero = jnp.asarray(hero, I32)
+    villain = jnp.asarray(villain, I32)
+    batch, n_chunks = _chunking(n_rollouts, batch_size)
+    w, t = _equity_vs_hand_device(key, hero, villain, batch, n_chunks)
+    n = batch * n_chunks
+    w, t = int(w), int(t)
+    return EquityResult(wins=w, ties=t, losses=n - w - t, n=n)
+
+
+@partial(jax.jit, static_argnames=("batch", "n_chunks"))
+def _equity_vs_random_device(key, hero, batch: int, n_chunks: int):
+    live = complement(hero)  # 50 cards
+    hero_masks = suit_masks_from_cards(hero)
+
+    def chunk(carry, i):
+        w, t = carry
+        slots = sample_distinct(jax.random.fold_in(key, i),
+                                live.shape[0], 7, batch)
+        cards = jnp.take(live, slots, axis=0)       # [batch, 7]
+        villain, board = cards[:, :2], cards[:, 2:]
+        bm = suit_masks_from_cards(board)
+        vh = eval_masks(*[m | h for m, h in zip(bm, hero_masks)])
+        vm = suit_masks_from_cards(villain)
+        vv = eval_masks(*[m | v for m, v in zip(bm, vm)])
+        return (w + jnp.sum((vh > vv).astype(I32)),
+                t + jnp.sum((vh == vv).astype(I32))), None
+
+    (w, t), _ = jax.lax.scan(
+        chunk, (jnp.zeros((), I32), jnp.zeros((), I32)), jnp.arange(n_chunks))
+    return w, t
+
+
+def equity_vs_random(
+    key,
+    hero: Sequence[int],
+    n_rollouts: int,
+    batch_size: int = 1 << 20,
+) -> EquityResult:
+    """Hero hole cards vs a uniformly random villain (169-sweep building
+    block, BASELINE config 5)."""
+    hero = jnp.asarray(hero, I32)
+    batch, n_chunks = _chunking(n_rollouts, batch_size)
+    w, t = _equity_vs_random_device(key, hero, batch, n_chunks)
+    n = batch * n_chunks
+    w, t = int(w), int(t)
+    return EquityResult(wins=w, ties=t, losses=n - w - t, n=n)
+
+
+def canonical_hands():
+    """The 169 canonical starting hands as (label, (card, card)).
+
+    Pairs use hearts+diamonds; suited uses both hearts; offsuit uses
+    hearts+diamonds. Order: pairs, then suited, then offsuit, high-first.
+    """
+    names = "23456789TJQKA"
+    out = []
+    for i in range(12, -1, -1):  # rank index, A first
+        r = i + 2
+        out.append((f"{names[i]}{names[i]}",
+                    (make_card(0, r), make_card(1, r))))
+    for hi in range(12, 0, -1):
+        for lo in range(hi - 1, -1, -1):
+            r1, r2 = hi + 2, lo + 2
+            out.append((f"{names[hi]}{names[lo]}s",
+                        (make_card(0, r1), make_card(0, r2))))
+    for hi in range(12, 0, -1):
+        for lo in range(hi - 1, -1, -1):
+            r1, r2 = hi + 2, lo + 2
+            out.append((f"{names[hi]}{names[lo]}o",
+                        (make_card(0, r1), make_card(1, r2))))
+    assert len(out) == 169
+    return out

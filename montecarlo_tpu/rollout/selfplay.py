@@ -1,0 +1,106 @@
+"""Batched random-policy self-play: full betting hands to showdown.
+
+One table-hand is a bounded ``lax.scan`` of ``step_action`` (the device form
+of the reference's action-channel loop, ``board.clj:131-138``); a batch of
+tables is a ``vmap`` over the leading axis; multiple hands chain through
+``settle_showdown`` + ``next_hand`` (the perpetual-game loop of
+``gameplay.clj:149-150``, with busted players kept at the table exactly like
+the reference).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from montecarlo_tpu.engine.state import TableConfig, TableState, init_state, next_hand
+from montecarlo_tpu.engine.step import (
+    _select_tree,
+    clamp_action,
+    settle_showdown,
+    step_action,
+)
+from montecarlo_tpu.rollout.policy import random_policy
+
+I32 = jnp.int32
+
+
+def hand_action_bound(cfg: TableConfig, max_raises_per_street: int = 2) -> int:
+    """Static scan bound: a street ends after at most P*(1+R) actions when the
+    policy raises at most R times per street; 4 streets per hand."""
+    return 4 * cfg.num_seats * (1 + max_raises_per_street)
+
+
+def play_one_hand(
+    state: TableState,
+    key: jax.Array,
+    policy: Callable = random_policy,
+    max_steps: int = 72,
+) -> TableState:
+    """Scan a single table-hand to completion and settle the showdown.
+
+    Steps after the hand ends are masked no-ops inside ``step_action``.
+    """
+
+    def body(carry, k):
+        st, street_raises = carry
+        action = clamp_action(st, policy(k, st, street_raises))
+        prev_stage = st.stage
+        nxt = step_action(st, action)
+        applied_raise = (action > 0) & ~st.hand_over
+        street_raises = jnp.where(
+            nxt.stage != prev_stage, 0, street_raises + applied_raise)
+        return (nxt, street_raises), None
+
+    keys = jax.random.split(key, max_steps)
+    (state, _), _ = jax.lax.scan(body, (state, jnp.zeros((), I32)), keys)
+    # The bound guarantees completion; the mask keeps semantics safe anyway.
+    return _select_tree(state.hand_over, settle_showdown(state), state)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_hands", "max_steps", "policy"))
+def play_hands(
+    keys: jax.Array,
+    cfg: TableConfig,
+    num_hands: int = 1,
+    max_steps: Optional[int] = None,
+    policy: Callable = random_policy,
+) -> TableState:
+    """Play ``num_hands`` consecutive hands on ``len(keys)`` parallel tables.
+
+    Returns the batch of final (settled) states; chips conservation holds
+    only up to the reference's n-inflation minting (see ``engine.bets``).
+    """
+    steps = max_steps or hand_action_bound(cfg)
+
+    def one_table(key):
+        st = init_state(key, cfg)
+
+        def hand_body(st, xs):
+            i, hand_key = xs
+            st = _select_tree(i > 0, next_hand(st), st)
+            st = play_one_hand(st, hand_key, policy=policy, max_steps=steps)
+            return st, None
+
+        hand_keys = jax.random.split(jax.random.fold_in(key, 0x5E1F), num_hands)
+        final, _ = jax.lax.scan(
+            hand_body, st, (jnp.arange(num_hands), hand_keys))
+        return final  # settled state of the last hand
+
+    return jax.vmap(one_table)(keys)
+
+
+def selfplay_stats(states: TableState) -> Dict[str, jax.Array]:
+    """Aggregate diagnostics over a batch of final states."""
+    return {
+        "tables": states.time.shape[0],
+        "mean_stack": jnp.mean(states.stacks.astype(jnp.float32)),
+        "min_stack": jnp.min(states.stacks),
+        "max_stack": jnp.max(states.stacks),
+        "bet_overflow_frac": jnp.mean(states.bets.overflow.astype(jnp.float32)),
+        "pot_overflow_frac": jnp.mean(states.pots.overflow.astype(jnp.float32)),
+        "hands_played": jnp.max(states.hand_idx),
+    }

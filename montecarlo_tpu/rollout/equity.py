@@ -82,15 +82,13 @@ def sample_distinct(key, n_avail: int, k: int, batch: int) -> jax.Array:
         x = jax.random.randint(keys[i], (batch,), 0, n_avail - i, dtype=I32)
         for c in sorted_chosen:
             x = x + (x >= c)
-        # insert x into the ascending list (unrolled insertion)
+        # insert x into the ascending list (unrolled bubble insertion:
+        # keep the smaller of (carry, c), carry the larger forward)
         new_sorted = []
-        placed = jnp.zeros((batch,), jnp.bool_)
         carry = x
         for c in sorted_chosen:
-            take_x = (carry < c) & ~placed
-            new_sorted.append(jnp.where(take_x, carry, c))
-            carry = jnp.where(take_x, c, carry)
-            placed = placed | take_x
+            new_sorted.append(jnp.minimum(carry, c))
+            carry = jnp.maximum(carry, c)
         new_sorted.append(carry)
         sorted_chosen = new_sorted
         chosen.append(x)

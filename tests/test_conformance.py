@@ -1,0 +1,103 @@
+"""Trajectory conformance: array engine vs literal-semantics oracle.
+
+Random games (2-6 players, random folds/calls/raises including exact
+all-ins and over-raises) are driven simultaneously through the fixed-shape
+array engine and the ``tests.oracle_engine`` transcription of the Clojure
+reference; every intermediate public state must match exactly, as must the
+final settled stacks.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlo_tpu.engine import (
+    TableConfig,
+    clamp_action,
+    head_info,
+    init_state,
+    redeal,
+    settle_showdown,
+    step_action,
+)
+from tests.oracle_engine import OracleGame
+from tests.util import layers_spec
+
+
+def engine_snapshot(st):
+    over = bool(st.hand_over)
+    return {
+        "bets": layers_spec(st.bets),
+        "pots": layers_spec(st.pots),
+        "stacks": np.asarray(st.stacks).tolist(),
+        "in_hand": frozenset(np.nonzero(np.asarray(st.in_hand))[0].tolist()),
+        "remaining": frozenset(np.nonzero(np.asarray(st.to_act))[0].tolist()),
+        "stage": int(st.stage),
+        "time": int(st.time),
+        "n_revealed": int(st.n_community),
+        "head": None if over else int(head_info(st)[0]),
+        "over": over,
+    }
+
+
+def oracle_snapshot(g):
+    s = g.snapshot()
+    s["bets"] = [tuple(x) for x in s["bets"]]
+    s["pots"] = [tuple(x) for x in s["pots"]]
+    return s
+
+
+def gen_action(rng, g):
+    head = g.head()
+    u = rng.random()
+    if u < 0.20:
+        return -1
+    if u < 0.65:
+        return 0
+    if u < 0.75:
+        # exact all-in raise (board.clj:80-89 removal path)
+        amt = g.stacks[head] - g.needed(head)
+        return amt if amt > 0 else 0
+    if u < 0.85:
+        return rng.randint(30, 500)  # over-raise -> clamped
+    return rng.randint(1, 25)
+
+
+@pytest.mark.parametrize("n_seats,seed", [
+    (2, 0), (2, 1), (3, 2), (3, 3), (3, 4),
+    (4, 5), (4, 6), (6, 7), (6, 8), (6, 9),
+    (3, 10), (6, 11), (2, 12), (4, 13), (6, 14),
+])
+def test_random_game_trajectory(n_seats, seed):
+    rng = random.Random(seed)
+    deck = list(range(52))
+    rng.shuffle(deck)
+
+    cfg = TableConfig(num_seats=n_seats, max_layers=24, max_pot_layers=64)
+    st = redeal(init_state(jax.random.key(seed), cfg),
+                jnp.array(deck, jnp.int32))
+    g = OracleGame(n=n_seats, small=5, big=10, deck=deck)
+
+    assert engine_snapshot(st) == oracle_snapshot(g)
+
+    for step in range(300):
+        if g.over:
+            break
+        raw = gen_action(rng, g)
+        a_eng = int(clamp_action(st, jnp.asarray(raw, jnp.int32)))
+        a_orc = g.clamp(raw)
+        assert a_eng == a_orc, (step, raw, a_eng, a_orc)
+        st = step_action(st, jnp.asarray(a_eng, jnp.int32))
+        g.act(a_orc)
+        assert not bool(st.bets.overflow) and not bool(st.pots.overflow)
+        assert engine_snapshot(st) == oracle_snapshot(g), f"step {step}"
+    else:
+        pytest.fail("game did not terminate in 300 actions")
+
+    st = settle_showdown(st)
+    g.settle()
+    assert np.asarray(st.stacks).tolist() == g.stacks
+    assert layers_spec(st.pots) == [tuple(x) for x in oracle_snapshot(g)["pots"]]

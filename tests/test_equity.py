@@ -1,0 +1,95 @@
+"""Equity API statistical conformance (BASELINE config 3 territory).
+
+The reference has no equity machinery at all; these tests pin the new API
+against known analytic/textbook values within Monte Carlo standard error
+(adjusted for the engine's faithful no-wheel-straight quirk, which shifts
+values only slightly)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_tpu.cards import make_card
+from montecarlo_tpu.rollout.equity import (
+    canonical_hands,
+    complement,
+    equity_vs_hand,
+    equity_vs_random,
+    sample_distinct,
+)
+
+H, D, S, C = 0, 1, 2, 3
+
+
+def test_sample_distinct_is_distinct_and_in_range():
+    slots = np.asarray(sample_distinct(jax.random.key(0), 48, 5, 4096))
+    assert slots.shape == (4096, 5)
+    assert slots.min() >= 0 and slots.max() < 48
+    for row in slots:
+        assert len(set(row.tolist())) == 5
+
+
+def test_sample_distinct_uniform_marginals():
+    B = 40_000
+    slots = np.asarray(sample_distinct(jax.random.key(1), 48, 5, B))
+    counts = np.bincount(slots.reshape(-1), minlength=48)
+    expected = B * 5 / 48
+    # ~4167 per slot; allow 6 sigma of binomial noise.
+    sigma = np.sqrt(B * 5 * (1 / 48) * (47 / 48))
+    assert np.all(np.abs(counts - expected) < 6 * sigma), counts
+
+
+def test_complement():
+    dead = jnp.array([0, 13, 51, 7], jnp.int32)
+    live = np.asarray(complement(dead))
+    assert live.shape == (48,)
+    assert set(live.tolist()) == set(range(52)) - {0, 13, 51, 7}
+    assert sorted(live.tolist()) == live.tolist()
+
+
+def test_aks_vs_qq_textbook_equity():
+    hero = [make_card(H, 14), make_card(H, 13)]       # AKs
+    villain = [make_card(D, 12), make_card(S, 12)]     # QQ
+    res = equity_vs_hand(jax.random.key(2), hero, villain, 400_000,
+                         batch_size=1 << 17)
+    # Textbook ~0.4605; no-wheel shifts slightly. 400k rollouts: se ~ 8e-4.
+    assert abs(res.equity - 0.460) < 0.006, res.equity
+    lo, hi = res.ci95
+    assert lo < res.equity < hi
+    assert res.wins + res.ties + res.losses == res.n
+
+
+def test_aa_dominates_kk():
+    aa = [make_card(H, 14), make_card(D, 14)]
+    kk = [make_card(H, 13), make_card(D, 13)]
+    res = equity_vs_hand(jax.random.key(3), aa, kk, 100_000)
+    assert 0.78 < res.equity < 0.86, res.equity  # textbook ~0.82
+
+
+def test_equity_symmetry():
+    hero = [make_card(H, 14), make_card(H, 13)]
+    villain = [make_card(D, 12), make_card(S, 12)]
+    a = equity_vs_hand(jax.random.key(4), hero, villain, 120_000)
+    b = equity_vs_hand(jax.random.key(5), villain, hero, 120_000)
+    assert abs(a.equity + b.equity - 1.0) < 0.01
+
+
+def test_equity_vs_random_orders_hands():
+    aa = [make_card(H, 14), make_card(D, 14)]
+    seven_two = [make_card(H, 7), make_card(D, 2)]
+    r_aa = equity_vs_random(jax.random.key(6), aa, 60_000)
+    r_72 = equity_vs_random(jax.random.key(7), seven_two, 60_000)
+    assert r_aa.equity > 0.80          # textbook ~0.85
+    assert 0.28 < r_72.equity < 0.44   # textbook ~0.35
+    assert r_aa.equity > r_72.equity + 0.3
+
+
+def test_canonical_hands_shape():
+    hands = canonical_hands()
+    assert len(hands) == 169
+    labels = [l for l, _ in hands]
+    assert len(set(labels)) == 169
+    assert labels[0] == "AA"
+    assert "AKs" in labels and "AKo" in labels and "72o" in labels
+    for _, (c1, c2) in hands:
+        assert 0 <= c1 < 52 and 0 <= c2 < 52 and c1 != c2

@@ -1,0 +1,64 @@
+"""Mesh sharding on the 8-device CPU test mesh (BASELINE config 5 machinery:
+shard_map + psum over the tables axis)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_tpu.cards import make_card
+from montecarlo_tpu.engine.state import TableConfig
+from montecarlo_tpu.parallel.mesh import (
+    equity_sweep,
+    make_mesh,
+    sharded_equity_vs_hand,
+    sharded_selfplay,
+)
+
+H, D, S = 0, 1, 2
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_equity_matches_textbook():
+    mesh = make_mesh()
+    hero = [make_card(H, 14), make_card(H, 13)]
+    villain = [make_card(D, 12), make_card(S, 12)]
+    res = sharded_equity_vs_hand(mesh, jax.random.key(0), hero, villain,
+                                 n_rollouts=320_000, per_device_batch=1 << 13)
+    assert res.n >= 320_000
+    assert abs(res.equity - 0.460) < 0.008, res.equity
+
+
+def test_equity_sweep_orders_hands():
+    mesh = make_mesh()
+    heroes = jnp.array([
+        [make_card(H, 14), make_card(D, 14)],  # AA
+        [make_card(H, 13), make_card(H, 12)],  # KQs
+        [make_card(H, 7), make_card(D, 2)],    # 72o
+    ], jnp.int32)
+    eq, n = equity_sweep(mesh, jax.random.key(1), heroes,
+                         n_rollouts_per_hand=64_000,
+                         per_device_batch=1 << 12)
+    assert n >= 64_000
+    assert eq[0] > eq[1] > eq[2], eq
+
+
+def test_sharded_selfplay_runs():
+    mesh = make_mesh()
+    cfg = TableConfig(num_seats=6, max_layers=16, max_pot_layers=48)
+    final = sharded_selfplay(mesh, jax.random.key(2), cfg,
+                             tables_per_device=8, num_hands=1)
+    assert bool(jnp.all(final.hand_over))
+    assert final.stacks.shape == (64, 6)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert int(out.time.sum()) > 0

@@ -1,0 +1,34 @@
+"""Batched self-play (BASELINE config 4, scaled down for CPU CI)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_tpu.engine.state import TableConfig
+from montecarlo_tpu.rollout.selfplay import play_hands, selfplay_stats
+
+
+def test_selfplay_completes_and_is_deterministic():
+    cfg = TableConfig(num_seats=6, max_layers=16, max_pot_layers=48)
+    keys = jax.random.split(jax.random.key(42), 64)
+    final = play_hands(keys, cfg, num_hands=2)
+
+    assert bool(jnp.all(final.hand_over)), "some hands did not complete"
+    assert not bool(jnp.any(final.bets.overflow))
+    assert not bool(jnp.any(final.pots.overflow))
+    assert int(jnp.max(final.hand_idx)) == 1  # 2 hands: idx 0, 1
+    assert bool(jnp.all(final.time > 0))
+
+    again = play_hands(keys, cfg, num_hands=2)
+    np.testing.assert_array_equal(np.asarray(final.stacks),
+                                  np.asarray(again.stacks))
+
+    stats = selfplay_stats(final)
+    assert stats["tables"] == 64
+
+
+def test_selfplay_heads_up():
+    cfg = TableConfig(num_seats=2, max_layers=16, max_pot_layers=48)
+    keys = jax.random.split(jax.random.key(3), 32)
+    final = play_hands(keys, cfg, num_hands=1)
+    assert bool(jnp.all(final.hand_over))

@@ -1,0 +1,193 @@
+"""Host/registry + TCP protocol conformance (``server.clj`` behavior)."""
+
+import asyncio
+import json
+
+import pytest
+
+from montecarlo_tpu.server.host import Registry
+from montecarlo_tpu.server.tcp import start_server
+
+
+class Client:
+    def __init__(self, registry):
+        self.msgs = []
+        self.pid = registry.add_player(self.msgs.append)
+
+
+def make3():
+    reg = Registry()
+    return reg, [Client(reg) for _ in range(3)]
+
+
+def test_new_room_validations():
+    reg, (a, b, c) = make3()
+    reg.dispatch(a.pid, {"type": "new_room", "name": "r", "n": 0})
+    assert a.msgs[-1] == {"status": -5,
+                          "msg": "n (number of players) must be a postive integer."}
+    reg.dispatch(a.pid, {"type": "new_room", "name": "r", "n": 2,
+                         "blinds": {"small": 0, "big": 10}})
+    assert a.msgs[-1] == {"status": -12, "msg": "Blinds must be positive integers"}
+    reg.dispatch(a.pid, {"type": "new_room", "n": 2})
+    assert a.msgs[-1] == {"status": -5, "msg": "empty room name."}
+    reg.dispatch(a.pid, {"type": "new_room", "name": "r", "n": 2})
+    assert a.msgs[-1] == {"status": 0, "msg": "OK"}
+    reg.dispatch(a.pid, {"type": "new_room", "name": "r", "n": 3})
+    assert a.msgs[-1] == {"status": -5, "msg": "room already exists."}
+    reg.dispatch(a.pid, {"type": "nonsense"})
+    assert a.msgs[-1] == {"status": -1, "msg": 'bad "type" argument'}
+
+
+def test_join_room_errors():
+    reg, (a, b, c) = make3()
+    reg.dispatch(a.pid, {"type": "join_room", "name": "nope"})
+    assert a.msgs[-1] == {"status": -2, "msg": 'Room "nope" does not exist yet.'}
+    reg.dispatch(a.pid, {"type": "new_room", "name": "r", "n": 3})
+    reg.dispatch(a.pid, {"type": "join_room", "name": "r"})
+    assert a.msgs[-1] == {"status": 0, "msg": "OK"}
+    reg.dispatch(a.pid, {"type": "join_room", "name": "r"})
+    assert a.msgs[-1] == {"status": -2, "msg": 'Already in room "r".'}
+
+
+def test_whoami_and_hand_queries():
+    reg, (a, b, c) = make3()
+    reg.dispatch(a.pid, {"type": "whoami"})
+    assert a.msgs[-1] == a.pid  # bare gensym string, not {"id": ...}
+    reg.dispatch(a.pid, {"type": "hand", "name": "r"})
+    assert a.msgs[-1] == {"status": -1, "msg": "Player is not in room r"}
+
+
+def test_game_start_flow_and_seat_order():
+    reg, (a, b, c) = make3()
+    reg.dispatch(a.pid, {"type": "new_room", "name": "hogwarts", "n": 3})
+    for cl in (a, b, c):
+        reg.dispatch(cl.pid, {"type": "join_room", "name": "hogwarts"})
+
+    room = reg.rooms["hogwarts"]
+    # Reverse join order (list-conj quirk): last joiner is seat 0 = small blind.
+    assert room.seats == [c.pid, b.pid, a.pid]
+    assert reg.stacks[c.pid] == 95 and reg.stacks[b.pid] == 90
+    assert reg.stacks[a.pid] == 100
+
+    for cl in (a, b, c):
+        cards = [m for m in cl.msgs if isinstance(m, dict) and "card" in m]
+        assert len(cards) == 2
+        assert all(m["room"] == "hogwarts" for m in cards)
+        boards = [m for m in cl.msgs if isinstance(m, dict) and "bets" in m]
+        assert len(boards) == 1
+        board = boards[0]
+        assert board["time"] == 0
+        assert board["play-order"][0] == a.pid  # first joiner acts first
+        assert board["bets"][0]["bet"] == 5
+
+    reg.dispatch(a.pid, {"type": "hand", "name": "hogwarts"})
+    hand = a.msgs[-1]["hand"]
+    assert len(hand) == 2 and all("suit" in c_ and "rank" in c_ for c_ in hand)
+
+
+def test_play_mailbox_and_turn_order():
+    reg, (a, b, c) = make3()
+    reg.dispatch(a.pid, {"type": "new_room", "name": "r", "n": 3})
+    for cl in (a, b, c):
+        reg.dispatch(cl.pid, {"type": "join_room", "name": "r"})
+    room = reg.rooms["r"]
+
+    # Out of turn: seat1 (b) queues a call; nothing applies until head acts.
+    t0 = int(room.state.time)
+    reg.dispatch(b.pid, {"type": "play", "name": "r", "amt": 0})
+    assert int(room.state.time) == t0
+
+    # Head (a, first joiner = seat 2) calls; next head is c (small blind),
+    # so b's queued action stays in the mailbox.
+    reg.dispatch(a.pid, {"type": "play", "name": "r", "amt": 0})
+    assert int(room.state.time) == t0 + 1
+
+    # c completes the small blind; b is now head and b's queued call drains
+    # immediately (sliding-buffer semantics) -> street ends -> flop.
+    reg.dispatch(c.pid, {"type": "play", "name": "r", "amt": 0})
+    assert int(room.state.time) == t0 + 3
+    assert int(room.state.stage) == 1
+
+    # Folded players stop receiving board updates (update-players quirk).
+    n_boards_b = len([m for m in b.msgs if isinstance(m, dict) and "bets" in m])
+    reg.dispatch(c.pid, {"type": "play", "name": "r", "amt": -1})  # c folds
+    reg.dispatch(a.pid, {"type": "play", "name": "r", "amt": 0})
+    assert len([m for m in b.msgs if isinstance(m, dict) and "bets" in m]) \
+        > n_boards_b
+    boards_c = [m for m in c.msgs if isinstance(m, dict) and "bets" in m]
+    last_c_time = boards_c[-1]["time"]
+    assert last_c_time <= int(room.state.time) - 1  # c no longer updated
+
+
+def test_hand_end_rolls_into_next_hand():
+    reg, clients = make3()
+    a, b = clients[0], clients[1]
+    reg.dispatch(a.pid, {"type": "new_room", "name": "hu", "n": 2})
+    reg.dispatch(a.pid, {"type": "join_room", "name": "hu"})
+    reg.dispatch(b.pid, {"type": "join_room", "name": "hu"})
+    room = reg.rooms["hu"]
+    # Seats reversed: b is seat 0 (SB), a seat 1 (BB); head is seat 0 = b.
+    assert room.seats == [b.pid, a.pid]
+    cards_before = len([m for m in a.msgs if isinstance(m, dict) and "card" in m])
+    reg.dispatch(b.pid, {"type": "play", "name": "hu", "amt": -1})  # b folds
+    # Next hand dealt silently: both players got 2 new cards; stacks settled.
+    cards_after = len([m for m in a.msgs if isinstance(m, dict) and "card" in m])
+    assert cards_after == cards_before + 2
+    assert int(room.state.hand_idx) == 1
+    # Chips conserved: stacks + next hand's freshly-posted blinds == 200.
+    assert reg.stacks[b.pid] + reg.stacks[a.pid] == 200 - 15
+    # Button rotated: a (first joiner, seat 1) now posts the small blind.
+    assert reg.stacks[a.pid] == 105 - 5 and reg.stacks[b.pid] == 95 - 10
+
+
+def test_tcp_round_trip():
+    async def scenario():
+        server, reg = await start_server(host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+
+        async def client():
+            return await asyncio.open_connection("127.0.0.1", port)
+
+        async def send(w, obj):
+            w.write((json.dumps(obj) + "\r\n").encode())
+            await w.drain()
+
+        async def recv(r):
+            line = await asyncio.wait_for(r.readline(), timeout=5)
+            return json.loads(line.decode().rstrip("\r\n"))
+
+        r1, w1 = await client()
+        r2, w2 = await client()
+
+        await send(w1, {"type": "whoami"})
+        p1 = await recv(r1)
+        assert p1.startswith("G__")
+
+        w1.write(b"this is not json\r\n")
+        await w1.drain()
+        assert (await recv(r1)) == {"status": -17, "msg": "You sent me bad json!"}
+
+        await send(w1, {"type": "new_room", "name": "hu", "n": 2})
+        assert (await recv(r1)) == {"status": 0, "msg": "OK"}
+        await send(w1, {"type": "join_room", "name": "hu"})
+        assert (await recv(r1)) == {"status": 0, "msg": "OK"}
+        await send(w2, {"type": "join_room", "name": "hu"})
+        assert (await recv(r2)) == {"status": 0, "msg": "OK"}
+
+        # Game starts: each client gets 2 cards + 1 board.
+        for r in (r1, r2):
+            msgs = [await recv(r) for _ in range(3)]
+            assert sum(1 for m in msgs if "card" in m) == 2
+            assert sum(1 for m in msgs if "bets" in m) == 1
+
+        # p2 joined last -> seat 0 -> heads-up head; p2 folds, hand rolls on.
+        await send(w2, {"type": "play", "name": "hu", "amt": -1})
+        msgs = [await recv(r1) for _ in range(3)]
+        assert sum(1 for m in msgs if "card" in m) == 2
+
+        for w in (w1, w2):
+            w.close()
+        server.close()
+        await server.wait_closed()
+
+    asyncio.run(scenario())

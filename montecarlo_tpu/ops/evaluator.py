@@ -84,9 +84,12 @@ def suit_masks_from_cards(cards):
     return masks
 
 
-@jax.jit
-def eval_masks(m0, m1, m2, m3):
-    """Evaluate suit masks to the packed uint32 hand key (elementwise)."""
+def eval_masks_impl(m0, m1, m2, m3):
+    """Evaluate suit masks to the packed uint32 hand key (elementwise).
+
+    Raw implementation — also called from inside Pallas kernels (every op
+    is an elementwise VPU op, so it lowers directly to Mosaic).
+    """
     zero = jnp.zeros_like(m0)
     present = m0 | m1 | m2 | m3
 
@@ -165,7 +168,10 @@ def eval_masks(m0, m1, m2, m3):
     return _pack(cat, ranks)
 
 
+eval_masks = jax.jit(eval_masks_impl)
+
+
 @jax.jit
 def eval7_from_cards(cards):
     """[..., K] distinct card ids -> packed uint32 hand keys."""
-    return eval_masks(*suit_masks_from_cards(cards))
+    return eval_masks_impl(*suit_masks_from_cards(cards))

@@ -1,0 +1,132 @@
+"""Fused Pallas TPU kernel: equity rollouts entirely on-chip.
+
+One kernel program = one tile of rollouts, start to finish in VMEM/registers:
+
+    hardware PRNG -> distinct 5-card board sample (ordered draws + bubble
+    insertion) -> rank-shift past the dead cards -> suit masks -> bitmask
+    hand evaluation for hero and villain -> win/tie compare -> scalar
+    accumulation into SMEM across the sequential grid.
+
+No card array ever touches HBM — the kernel's only outputs are two int32
+counters. This is the TPU-native replacement for the reference's
+per-showdown combinatorial evaluation (``hand_evaluator.clj:162-172``),
+fused with sampling so the whole Monte Carlo rollout is one VPU program.
+
+RNG note: per-program streams come from ``pltpu.prng_seed(seed + program
+id)``; bounded draws use a 32-bit modulo, whose bias at bound <= 48 is
+~1.1e-8 per draw — five orders of magnitude below Monte Carlo noise at any
+practical rollout count (the XLA path uses unbiased ``jax.random`` draws;
+agreement is asserted in tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from montecarlo_tpu.ops.evaluator import eval_masks_impl
+
+I32 = jnp.int32
+
+# Rollouts per kernel program: 64 sublanes x 128 lanes.
+TILE = (64, 128)
+TILE_N = TILE[0] * TILE[1]
+
+
+def _sample_board_masks(dead, shape):
+    """Sample 5 distinct live cards and build the board's 4 suit masks.
+
+    ``dead`` is a list of 4 ascending scalar card ids. All tile-shaped
+    elementwise ops: draws via the hardware PRNG, distinctness via ordered
+    draws + bubble insertion, slot->card via rank-shifts past the dead.
+    """
+    n_live = 52 - len(dead)
+    sorted_chosen = []
+    masks = [jnp.zeros(shape, I32) for _ in range(4)]
+    for t in range(5):
+        bits = pltpu.prng_random_bits(shape)
+        x = (bits.astype(jnp.uint32) % jnp.uint32(n_live - t)).astype(I32)
+        for c in sorted_chosen:
+            x = x + (x >= c).astype(I32)
+        # maintain the ascending chosen list
+        new_sorted, carry = [], x
+        for c in sorted_chosen:
+            new_sorted.append(jnp.minimum(carry, c))
+            carry = jnp.maximum(carry, c)
+        new_sorted.append(carry)
+        sorted_chosen = new_sorted
+        # live slot -> card id
+        card = x
+        for d in dead:
+            card = card + (card >= d).astype(I32)
+        suit = card // 13
+        bit = jnp.left_shift(I32(1), 2 + card % 13)
+        for s in range(4):
+            masks[s] = masks[s] | jnp.where(suit == s, bit, 0)
+    return masks
+
+
+def _equity_kernel(seed_ref, dead_ref, hmask_ref, vmask_ref,
+                   wins_ref, ties_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        wins_ref[0, 0] = I32(0)
+        ties_ref[0, 0] = I32(0)
+
+    pltpu.prng_seed(seed_ref[0] + i)
+    dead = [dead_ref[j] for j in range(4)]
+    bm = _sample_board_masks(dead, TILE)
+    vh = eval_masks_impl(*[m | hmask_ref[s] for s, m in enumerate(bm)])
+    vv = eval_masks_impl(*[m | vmask_ref[s] for s, m in enumerate(bm)])
+    wins_ref[0, 0] += jnp.sum((vh > vv).astype(I32))
+    ties_ref[0, 0] += jnp.sum((vh == vv).astype(I32))
+
+
+@partial(jax.jit, static_argnames=("n_programs", "interpret"))
+def equity_counts_pallas(seed, dead, hero_masks, villain_masks,
+                         n_programs: int, interpret: bool = False):
+    """(wins, ties) over ``n_programs * TILE_N`` rollouts.
+
+    ``seed``: int32 scalar; ``dead``: int32[4] ascending dead cards;
+    ``*_masks``: int32[4] suit masks of the fixed hole cards.
+    """
+    smem = lambda n: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    wins, ties = pl.pallas_call(
+        _equity_kernel,
+        grid=(n_programs,),
+        in_specs=[smem(1), smem(4), smem(4), smem(4)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 1), I32),
+                   jax.ShapeDtypeStruct((1, 1), I32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(seed, I32).reshape(1),
+      jnp.asarray(dead, I32).reshape(4),
+      jnp.asarray(hero_masks, I32).reshape(4),
+      jnp.asarray(villain_masks, I32).reshape(4))
+    return wins[0, 0], ties[0, 0]
+
+
+def equity_vs_hand_pallas(seed: int, hero, villain, n_rollouts: int,
+                          interpret: bool = False):
+    """Hand-vs-hand equity via the fused kernel. Returns (wins, ties, n)."""
+    from montecarlo_tpu.ops.evaluator import suit_masks_from_cards
+
+    hero = jnp.asarray(hero, I32)
+    villain = jnp.asarray(villain, I32)
+    dead = jnp.sort(jnp.concatenate([hero, villain]))
+    hm = jnp.stack(suit_masks_from_cards(hero))
+    vm = jnp.stack(suit_masks_from_cards(villain))
+    n_programs = max(1, -(-n_rollouts // TILE_N))
+    w, t = equity_counts_pallas(seed, dead, hm, vm, n_programs,
+                                interpret=interpret)
+    return int(w), int(t), n_programs * TILE_N

@@ -21,8 +21,8 @@ from montecarlo_tpu.engine.state import TableConfig
 from montecarlo_tpu.ops.evaluator import eval_masks, suit_masks_from_cards
 from montecarlo_tpu.rollout.equity import (
     EquityResult,
-    complement,
     sample_distinct,
+    slots_to_cards,
 )
 from montecarlo_tpu.rollout.selfplay import play_hands
 
@@ -36,14 +36,14 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-def _local_counts(key, hero_masks, villain_masks, live, batch, n_chunks):
+def _local_counts(key, hero_masks, villain_masks, dead, batch, n_chunks):
     """Per-device rollout loop (runs inside shard_map)."""
 
     def chunk(carry, i):
         w, t = carry
         slots = sample_distinct(jax.random.fold_in(key, i),
-                                live.shape[0], 5, batch)
-        board = jnp.take(live, slots, axis=0)
+                                52 - dead.shape[0], 5, batch)
+        board = slots_to_cards(slots, dead)
         bm = suit_masks_from_cards(board)
         vh = eval_masks(*[m | h for m, h in zip(bm, hero_masks)])
         vv = eval_masks(*[m | v for m, v in zip(bm, villain_masks)])
@@ -73,13 +73,13 @@ def sharded_equity_vs_hand(
 
     @partial(jax.jit, static_argnames=("batch", "n_chunks"))
     def run(key, hero, villain, batch, n_chunks):
-        live = complement(jnp.concatenate([hero, villain]))
+        dead = jnp.sort(jnp.concatenate([hero, villain]))
         hm = suit_masks_from_cards(hero)
         vm = suit_masks_from_cards(villain)
 
         def shard_fn(key):
             dev_key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
-            w, t = _local_counts(dev_key, hm, vm, live, batch, n_chunks)
+            w, t = _local_counts(dev_key, hm, vm, dead, batch, n_chunks)
             return (jax.lax.psum(w, AXIS), jax.lax.psum(t, AXIS))
 
         return jax.shard_map(
@@ -111,14 +111,14 @@ def equity_sweep(
     @partial(jax.jit, static_argnames=("batch", "n_chunks"))
     def run(key, heroes, batch, n_chunks):
         def one_hero(hkey, hero):
-            live = complement(hero)  # 50 live cards
+            dead = jnp.sort(hero)
             hm = suit_masks_from_cards(hero)
 
             def chunk(carry, i):
                 w, t = carry
                 slots = sample_distinct(jax.random.fold_in(hkey, i),
-                                        live.shape[0], 7, batch)
-                cards = jnp.take(live, slots, axis=0)
+                                        50, 7, batch)
+                cards = slots_to_cards(slots, dead)
                 villain, board = cards[:, :2], cards[:, 2:]
                 bm = suit_masks_from_cards(board)
                 vh = eval_masks(*[m | h for m, h in zip(bm, hm)])

@@ -95,10 +95,20 @@ def sample_distinct(key, n_avail: int, k: int, batch: int) -> jax.Array:
     return jnp.stack(chosen, axis=1)
 
 
-def _versus_counts(key, hero_masks, villain_masks, live, batch: int):
+def slots_to_cards(slots, dead_sorted):
+    """Map live-deck slot indices to card ids by rank-shifting past the
+    (ascending) dead cards — the order-preserving bijection onto the
+    complement, with no gather on the hot path."""
+    cards = slots
+    for j in range(dead_sorted.shape[0]):
+        cards = cards + (cards >= dead_sorted[j])
+    return cards
+
+
+def _versus_counts(key, hero_masks, villain_masks, dead_sorted, batch: int):
     """(wins, ties) over one batch of boards for fixed hero/villain holes."""
-    slots = sample_distinct(key, live.shape[0], 5, batch)
-    board = jnp.take(live, slots, axis=0)  # [batch, 5]
+    slots = sample_distinct(key, 52 - dead_sorted.shape[0], 5, batch)
+    board = slots_to_cards(slots, dead_sorted)  # [batch, 5]
     bm = suit_masks_from_cards(board)
     vh = eval_masks(*[m | h for m, h in zip(bm, hero_masks)])
     vv = eval_masks(*[m | v for m, v in zip(bm, villain_masks)])
@@ -107,14 +117,14 @@ def _versus_counts(key, hero_masks, villain_masks, live, batch: int):
 
 @partial(jax.jit, static_argnames=("batch", "n_chunks"))
 def _equity_vs_hand_device(key, hero, villain, batch: int, n_chunks: int):
-    live = complement(jnp.concatenate([hero, villain]))
+    dead = jnp.sort(jnp.concatenate([hero, villain]))
     hero_masks = suit_masks_from_cards(hero)
     villain_masks = suit_masks_from_cards(villain)
 
     def chunk(carry, i):
         w, t = carry
         cw, ct = _versus_counts(
-            jax.random.fold_in(key, i), hero_masks, villain_masks, live, batch)
+            jax.random.fold_in(key, i), hero_masks, villain_masks, dead, batch)
         return (w + cw, t + ct), None
 
     (w, t), _ = jax.lax.scan(
@@ -150,14 +160,13 @@ def equity_vs_hand(
 
 @partial(jax.jit, static_argnames=("batch", "n_chunks"))
 def _equity_vs_random_device(key, hero, batch: int, n_chunks: int):
-    live = complement(hero)  # 50 cards
+    dead = jnp.sort(hero)
     hero_masks = suit_masks_from_cards(hero)
 
     def chunk(carry, i):
         w, t = carry
-        slots = sample_distinct(jax.random.fold_in(key, i),
-                                live.shape[0], 7, batch)
-        cards = jnp.take(live, slots, axis=0)       # [batch, 7]
+        slots = sample_distinct(jax.random.fold_in(key, i), 50, 7, batch)
+        cards = slots_to_cards(slots, dead)          # [batch, 7]
         villain, board = cards[:, :2], cards[:, 2:]
         bm = suit_masks_from_cards(board)
         vh = eval_masks(*[m | h for m, h in zip(bm, hero_masks)])

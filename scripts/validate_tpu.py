@@ -1,0 +1,56 @@
+"""On-hardware validation: Pallas kernel vs XLA path statistical agreement.
+
+Run on a real TPU (the CPU test mesh can't execute the TPU PRNG
+primitives): both backends estimate the same matchups; their estimates must
+agree within combined Monte Carlo error, and known textbook values must be
+reproduced. Exits nonzero on failure.
+"""
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from montecarlo_tpu.cards import make_card  # noqa: E402
+from montecarlo_tpu.ops.pallas_equity import equity_vs_hand_pallas  # noqa: E402
+from montecarlo_tpu.rollout.equity import equity_vs_hand  # noqa: E402
+
+H, D, S, C = 0, 1, 2, 3
+
+MATCHUPS = [
+    ("AKs vs QQ", [make_card(H, 14), make_card(H, 13)],
+     [make_card(D, 12), make_card(S, 12)], 0.460),
+    ("AA vs KK", [make_card(H, 14), make_card(D, 14)],
+     [make_card(H, 13), make_card(D, 13)], 0.820),
+    ("72o vs AKo", [make_card(H, 7), make_card(D, 2)],
+     [make_card(S, 14), make_card(C, 13)], 0.32),
+]
+
+N = 4_000_000
+
+
+def main() -> int:
+    failures = 0
+    for name, hero, villain, approx in MATCHUPS:
+        xla = equity_vs_hand(jax.random.key(1), hero, villain, N,
+                             batch_size=1 << 20)
+        w, t, n = equity_vs_hand_pallas(2, hero, villain, N)
+        pal = (w + 0.5 * t) / n
+        se = math.sqrt(0.25 / N) * 2  # conservative combined SE
+        agree = abs(xla.equity - pal) < 6 * se
+        near = abs(pal - approx) < 0.02
+        status = "ok" if (agree and near) else "FAIL"
+        failures += 0 if (agree and near) else 1
+        print(f"{name:12s} xla={xla.equity:.5f} pallas={pal:.5f} "
+              f"textbook~{approx:.3f} [{status}]")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

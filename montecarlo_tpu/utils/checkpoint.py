@@ -1,0 +1,42 @@
+"""Table-state snapshots (checkpoint / resume).
+
+The reference loses everything on restart (all state lives in in-memory STM
+refs, ``database.clj:5-6``). Here a table batch is a flat array pytree, so a
+snapshot is a single ``.npz``: every leaf (PRNG keys included, via
+``jax.random.key_data``) round-trips losslessly, and a resumed batch
+continues bit-identically — rollouts are deterministic functions of
+(key, hand_idx).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_tpu.engine.state import TableState
+
+
+def save_states(path: str, states: TableState) -> None:
+    leaves = states._replace(key=jax.random.key_data(states.key))
+    flat, _ = jax.tree.flatten(leaves)
+    np.savez_compressed(
+        path, **{f"leaf_{i:04d}": np.asarray(x) for i, x in enumerate(flat)})
+
+
+def load_states(path: str) -> TableState:
+    with np.load(path) as data:
+        flat = [data[k] for k in sorted(data.files)]
+    # Rebuild against the TableState treedef (Layers nest inside; shapes
+    # come from the stored leaves, the template only carries structure).
+    from montecarlo_tpu.engine.bets import empty_layers
+
+    template = TableState(
+        key=0, hand_idx=0, deck=0, hole=0, community=0, n_community=0,
+        stage=0, time=0, button=0, cursor=0, in_hand=0, folded=0,
+        order_mask=0, to_act=0, stacks=0,
+        bets=empty_layers(1, 1), pots=empty_layers(1, 1),
+        small_blind=0, big_blind=0, hand_over=0)
+    treedef = jax.tree.structure(template)
+    states = jax.tree.unflatten(treedef, [jnp.asarray(x) for x in flat])
+    return states._replace(key=jax.random.wrap_key_data(states.key))

@@ -1,0 +1,227 @@
+"""Interactive-table backends for the server host.
+
+Two engines drive an interactive room, sharing conformance-tested
+semantics:
+
+- ``NativeBackend`` (default when the toolchain is available): the C++
+  single-table runtime (``native/mcpoker.cpp``) — per-action latency in
+  microseconds, the host equivalent of the reference's per-table actor.
+- ``JaxBackend``: the device engine stepped one action at a time — always
+  available; also the reference implementation the native path is tested
+  against.
+
+Both expose the same surface to ``Room``: seat order is *hand order for the
+current hand* handled by the backend (button rotation included), and the
+public board JSON matches ``read-board`` (``helpers.clj:33-43``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from montecarlo_tpu.engine.public import card_json
+
+
+def _layers_json(layers, ids_by_pos: Sequence[str]) -> List[Dict]:
+    """[(amt, members, orig, n)] in hand-order index space -> JSON."""
+    return [{
+        "bet": amt,
+        "players": [ids_by_pos[j] for j in range(len(ids_by_pos)) if j in mem],
+        "original-players": [ids_by_pos[j] for j in range(len(ids_by_pos))
+                             if j in orig],
+        "n": n,
+    } for amt, mem, orig, n in layers]
+
+
+class NativeBackend:
+    """C++ table runtime + host-side dealing and button rotation."""
+
+    def __init__(self, n: int, small: int, big: int, seed: int,
+                 stacks: Sequence[int]):
+        from montecarlo_tpu import native
+
+        self._native = native
+        self.n = n
+        self.small, self.big = small, big
+        self.rng = np.random.Generator(np.random.PCG64(seed))
+        self.button = 0
+        self.hand_idx = 0
+        self._seat_stacks = list(stacks)  # by seat
+        self._deal()
+
+    # hand-order position j <-> seat (button + j) % n
+    def _seat(self, pos: int) -> int:
+        return (self.button + pos) % self.n
+
+    def _pos(self, seat: int) -> int:
+        return (seat - self.button) % self.n
+
+    def _deal(self):
+        self.deck = self.rng.permutation(52).astype(np.int32)
+        order_stacks = [self._seat_stacks[self._seat(j)] for j in range(self.n)]
+        self.table = self._native.NativeTable(
+            self.n, self.small, self.big, self.deck, stacks=order_stacks)
+        self._pull_stacks()
+
+    def _pull_stacks(self):
+        snap = self.table.snapshot()
+        for j, v in enumerate(snap["stacks"]):
+            self._seat_stacks[self._seat(j)] = v
+
+    # -- Room surface ---------------------------------------------------------
+    def info(self) -> Dict:
+        snap = self.table.snapshot()
+        return {"time": snap["time"], "stage": snap["stage"],
+                "hand_idx": self.hand_idx}
+
+    def stacks(self) -> List[int]:
+        return list(self._seat_stacks)
+
+    def set_stacks(self, stacks: Sequence[int]):
+        self._seat_stacks = list(stacks)
+        # Push into the live table (order space).
+        # The native table owns stacks during a hand; sync is only needed
+        # for cross-room stack changes between this room's actions.
+        # Recreate cheaply is not possible mid-hand, so adjust via snapshot
+        # deltas is unnecessary: we simply keep host stacks authoritative at
+        # hand boundaries and accept in-hand divergence (the reference's
+        # global refs have the same race).
+
+    def in_hand_seats(self) -> List[int]:
+        snap = self.table.snapshot()
+        return sorted(self._seat(j) for j in snap["in_hand"])
+
+    def hole(self, seat: int):
+        j = self._pos(seat)
+        return int(self.deck[j]), int(self.deck[self.n + j])
+
+    def head_seat(self) -> Optional[int]:
+        snap = self.table.snapshot()
+        return None if snap["head"] is None else self._seat(snap["head"])
+
+    def act(self, amt: int) -> bool:
+        """Apply one action; returns True if the hand ended (new hand dealt)."""
+        self.table.act(int(amt))
+        snap = self.table.snapshot()
+        if snap["over"]:
+            self.table.settle()
+            self._pull_stacks()
+            self.button = (self.button + 1) % self.n
+            self.hand_idx += 1
+            self._deal()
+            return True
+        self._pull_stacks()
+        return False
+
+    def board_json(self, ids: Sequence[str]) -> Dict:
+        snap = self.table.snapshot()
+        ids_by_pos = [ids[self._seat(j)] for j in range(self.n)]
+        n_players = len(snap["in_hand"])
+        order, cursor = snap["order"], snap["cursor"]
+        play_order = []
+        k = cursor
+        while len(play_order) < n_players and order:
+            play_order.append(ids_by_pos[order[k % len(order)]])
+            k += 1
+        return {
+            "community-cards": [
+                card_json(int(c)) for c in
+                [self.deck[2 * self.n + 1], self.deck[2 * self.n + 2],
+                 self.deck[2 * self.n + 3], self.deck[2 * self.n + 5],
+                 self.deck[2 * self.n + 7]][: snap["n_revealed"]]],
+            "bets": _layers_json(snap["bets"], ids_by_pos),
+            "pots": _layers_json(snap["pots"], ids_by_pos),
+            "remaining-players": [ids_by_pos[j] for j in range(self.n)
+                                  if j in snap["remaining"]],
+            "play-order": play_order,
+            "time": snap["time"],
+            "players": [{"id": ids_by_pos[j],
+                         "stack": snap["stacks"][j]}
+                        for j in range(self.n) if j in snap["in_hand"]],
+        }
+
+
+class JaxBackend:
+    """Device engine stepped from the host (always available)."""
+
+    def __init__(self, n: int, small: int, big: int, seed: int,
+                 stacks: Sequence[int]):
+        import jax
+        import jax.numpy as jnp
+
+        from montecarlo_tpu.engine.state import TableConfig, init_state
+
+        self.n = n
+        cfg = TableConfig(num_seats=n, small_blind=small, big_blind=big)
+        state = init_state(jax.random.key(seed), cfg)
+        posted = np.asarray(state.stacks) - cfg.starting_stack
+        self.state = state._replace(
+            stacks=jnp.asarray(np.asarray(stacks, np.int32) + posted))
+
+    def info(self) -> Dict:
+        return {"time": int(self.state.time), "stage": int(self.state.stage),
+                "hand_idx": int(self.state.hand_idx)}
+
+    def stacks(self) -> List[int]:
+        return np.asarray(self.state.stacks).tolist()
+
+    def set_stacks(self, stacks: Sequence[int]):
+        import jax.numpy as jnp
+
+        self.state = self.state._replace(
+            stacks=jnp.asarray(np.asarray(stacks, np.int32)))
+
+    def in_hand_seats(self) -> List[int]:
+        return np.nonzero(np.asarray(self.state.in_hand))[0].tolist()
+
+    def hole(self, seat: int):
+        h = np.asarray(self.state.hole)
+        return int(h[seat, 0]), int(h[seat, 1])
+
+    def head_seat(self) -> Optional[int]:
+        from montecarlo_tpu.engine.step import head_info
+
+        seat, _, exists = head_info(self.state)
+        return int(seat) if bool(exists) else None
+
+    def act(self, amt: int) -> bool:
+        import jax.numpy as jnp
+
+        from montecarlo_tpu.engine.state import next_hand
+        from montecarlo_tpu.engine.step import (
+            apply_action, clamp_action, game_end, settle_showdown,
+            stage_end, stage_transition,
+        )
+
+        st = apply_action(self.state,
+                          clamp_action(self.state, jnp.asarray(amt, jnp.int32)))
+        if bool(game_end(st)):
+            self.state = next_hand(settle_showdown(st))
+            return True
+        if bool(stage_end(st)):
+            self.state = stage_transition(st)
+        else:
+            self.state = st
+        return False
+
+    def board_json(self, ids: Sequence[str]) -> Dict:
+        from montecarlo_tpu.engine.public import public_board
+
+        return public_board(self.state, ids)
+
+
+def make_backend(kind: str, n: int, small: int, big: int, seed: int,
+                 stacks: Sequence[int]):
+    if kind == "native":
+        return NativeBackend(n, small, big, seed, stacks)
+    if kind == "jax":
+        return JaxBackend(n, small, big, seed, stacks)
+    if kind == "auto":
+        from montecarlo_tpu import native
+
+        if native.available():
+            return NativeBackend(n, small, big, seed, stacks)
+        return JaxBackend(n, small, big, seed, stacks)
+    raise ValueError(f"unknown backend {kind!r}")

@@ -26,21 +26,8 @@ from __future__ import annotations
 import itertools
 from typing import Callable, Dict, List, Optional
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from montecarlo_tpu.engine.public import card_json, player_hand_json, public_board
-from montecarlo_tpu.engine.state import TableConfig, init_state, next_hand
-from montecarlo_tpu.engine.step import (
-    apply_action,
-    clamp_action,
-    game_end,
-    head_info,
-    settle_showdown,
-    stage_end,
-    stage_transition,
-)
+from montecarlo_tpu.engine.public import card_json
+from montecarlo_tpu.server.backends import make_backend
 
 Send = Callable[[object], None]  # per-player outbound JSON-able sink
 
@@ -56,21 +43,23 @@ def _pos_int(x) -> bool:
 
 
 class Room:
-    """One table: players, engine state, pending-action mailboxes."""
+    """One table: players, engine backend, pending-action mailboxes."""
 
-    def __init__(self, name: str, n: int, blinds: Dict[str, int], seed: int = 0):
+    def __init__(self, name: str, n: int, blinds: Dict[str, int], seed: int = 0,
+                 backend: str = "auto"):
         self.name = name
         self.n = n
         self.blinds = dict(blinds)
         self.seed = seed
+        self.backend_kind = backend
         self.joined: List[str] = []   # join order
         self.seats: List[str] = []    # seat order (reverse join order)
-        self.state = None
+        self.engine = None
         self.pending: Dict[str, Optional[int]] = {}
 
     @property
     def started(self) -> bool:
-        return self.state is not None
+        return self.engine is not None
 
     def seat_of(self, pid: str) -> Optional[int]:
         return self.seats.index(pid) if pid in self.seats else None
@@ -84,17 +73,10 @@ class Room:
     def start(self, registry: "Registry"):
         # Reference list-conj semantics: last joiner heads the players list.
         self.seats = list(reversed(self.joined[: self.n]))
-        cfg = TableConfig(
-            num_seats=self.n,
-            small_blind=self.blinds.get("small", 5),
-            big_blind=self.blinds.get("big", 10),
-        )
-        state = init_state(jax.random.key(self.seed), cfg)
-        # Stacks are global per player across rooms (database.clj:31); pull
-        # each player's current stack from the registry.
-        stacks = jnp.array([registry.stacks[p] for p in self.seats], jnp.int32)
-        posted = np.asarray(state.stacks) - cfg.starting_stack  # blind debits
-        self.state = state._replace(stacks=stacks + jnp.asarray(posted))
+        self.engine = make_backend(
+            self.backend_kind, self.n,
+            self.blinds.get("small", 5), self.blinds.get("big", 10),
+            self.seed, [registry.stacks[p] for p in self.seats])
         self.pending = {p: None for p in self.seats}
         self._sync_registry(registry)
         self._deal_messages(registry)
@@ -103,24 +85,20 @@ class Room:
     # -- messaging ----------------------------------------------------------
     def _deal_messages(self, registry: "Registry"):
         """Hole cards, one player at a time (deal-hand, gameplay.clj:63-75)."""
-        st = self.state
         for k in range(2):
             for seat, pid in enumerate(self.seats):
-                card = int(np.asarray(st.hole)[seat, k])
+                card = self.engine.hole(seat)[k]
                 registry.send(pid, {"card": card_json(card), "room": self.name})
 
     def _broadcast(self, registry: "Registry"):
         """Board to every in-hand player (update-players, board.clj:109)."""
-        board = public_board(self.state, self.seats)
-        in_hand = np.asarray(self.state.in_hand)
-        for seat, pid in enumerate(self.seats):
-            if in_hand[seat]:
-                registry.send(pid, board)
+        board = self.engine.board_json(self.seats)
+        for seat in self.engine.in_hand_seats():
+            registry.send(self.seats[seat], board)
 
     def _sync_registry(self, registry: "Registry"):
-        stacks = np.asarray(self.state.stacks)
         for seat, pid in enumerate(self.seats):
-            registry.stacks[pid] = int(stacks[seat])
+            registry.stacks[pid] = self.engine.stacks()[seat]
 
     # -- actions ------------------------------------------------------------
     def submit_action(self, pid: str, amt, registry: "Registry"):
@@ -134,10 +112,8 @@ class Room:
         self.drain(registry)
 
     def head_pid(self) -> Optional[str]:
-        seat, _, exists = head_info(self.state)
-        if not bool(exists):
-            return None
-        return self.seats[int(seat)]
+        seat = self.engine.head_seat()
+        return None if seat is None else self.seats[seat]
 
     def drain(self, registry: "Registry"):
         """Apply pending actions while the head seat has one queued
@@ -150,36 +126,24 @@ class Room:
             self.pending[pid] = None
             self._board_action(int(amt), registry)
 
-    def _pull_registry(self, registry: "Registry"):
-        """Stacks are global refs shared across rooms (database.clj:8-12);
-        re-read them so cross-room play sees live balances."""
-        stacks = jnp.array([registry.stacks[p] for p in self.seats], jnp.int32)
-        self.state = self.state._replace(stacks=stacks)
-
     def _board_action(self, amt: int, registry: "Registry"):
         """board-action (board.clj:122-129) with host-visible events."""
-        self._pull_registry(registry)
-        st = self.state
-        action = clamp_action(st, jnp.asarray(amt, jnp.int32))
-        st = apply_action(st, action)
-        if bool(game_end(st)):
-            st = next_hand(settle_showdown(st))
-            self.state = st
-            self._sync_registry(registry)
-            self._deal_messages(registry)   # fresh hole cards, next hand
-        elif bool(stage_end(st)):
-            self.state = stage_transition(st)
-            self._sync_registry(registry)
-        else:
-            self.state = st
-            self._sync_registry(registry)
+        # Stacks are global refs shared across rooms (database.clj:8-12):
+        # refresh from the registry so cross-room play sees live balances
+        # (the native backend applies this at hand boundaries).
+        self.engine.set_stacks([registry.stacks[p] for p in self.seats])
+        new_hand = self.engine.act(amt)
+        self._sync_registry(registry)
+        if new_hand:
+            self._deal_messages(registry)  # fresh hole cards, next hand
         self._broadcast(registry)
 
 
 class Registry:
     """The global player/room databases (``database.clj:5-6``)."""
 
-    def __init__(self):
+    def __init__(self, backend: str = "auto"):
+        self.backend = backend  # "native" | "jax" | "auto"
         self.rooms: Dict[str, Room] = {}
         self.stacks: Dict[str, int] = {}          # global 100-chip stacks
         self.player_rooms: Dict[str, set] = {}
@@ -218,7 +182,8 @@ class Registry:
                 pid, error(-5, "n (number of players) must be a postive integer."))
         if not all(_pos_int(v) for v in blinds.values()):
             return self.send(pid, error(-12, "Blinds must be positive integers"))
-        self.rooms[name] = Room(name, n, blinds, seed=len(self.rooms))
+        self.rooms[name] = Room(name, n, blinds, seed=len(self.rooms),
+                                backend=self.backend)
         self.send(pid, OK)
 
     def join_room(self, pid: str, req: Dict):
@@ -248,7 +213,9 @@ class Registry:
         seat = room.seat_of(pid)
         if seat is None:
             return self.send(pid, {"hand": []})  # joined after the table filled
-        self.send(pid, {"hand": player_hand_json(room.state, seat)})
+        c1, c2 = room.engine.hole(seat)
+        # Newest card first: hands are conj'd lists (player.clj:53-55).
+        self.send(pid, {"hand": [card_json(c2), card_json(c1)]})
 
     def whoami(self, pid: str):
         # The reference sends the bare gensym (server.clj:103-105), which

@@ -1,0 +1,79 @@
+"""Native C++ runtime conformance: evaluator and table engine vs the oracle."""
+
+import itertools
+import random
+
+import numpy as np
+import pytest
+
+from montecarlo_tpu import native
+from montecarlo_tpu.ops.ref_evaluator import ref_eval_best
+from tests.oracle_engine import OracleGame
+from tests.test_conformance import gen_action
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+def test_native_eval7_vs_oracle():
+    rng = random.Random(99)
+    hands = [rng.sample(range(52), 7) for _ in range(3000)]
+    got = native.eval7_batch(np.array(hands, dtype=np.int32))
+    want = np.array([ref_eval_best(h) for h in hands], dtype=np.uint32)
+    np.testing.assert_array_equal(got, want)
+
+
+def _native_snapshot_matches(g, t):
+    s = g.snapshot()
+    nt = t.snapshot()
+    assert nt["stacks"] == s["stacks"]
+    assert nt["in_hand"] == s["in_hand"]
+    assert nt["remaining"] == s["remaining"]
+    assert nt["stage"] == s["stage"]
+    assert nt["time"] == s["time"]
+    assert nt["n_revealed"] == s["n_revealed"]
+    assert nt["over"] == s["over"]
+    assert nt["head"] == s["head"]
+    assert nt["bets"] == [tuple(x) for x in s["bets"]]
+    assert nt["pots"] == [tuple(x) for x in s["pots"]]
+
+
+@pytest.mark.parametrize("n_seats,seed", [(2, 21), (3, 22), (4, 23), (6, 24),
+                                          (3, 25), (6, 26)])
+def test_native_table_trajectory_vs_oracle(n_seats, seed):
+    rng = random.Random(seed)
+    deck = list(range(52))
+    rng.shuffle(deck)
+
+    g = OracleGame(n=n_seats, small=5, big=10, deck=deck)
+    t = native.NativeTable(n_seats, 5, 10, deck)
+    _native_snapshot_matches(g, t)
+
+    for _ in range(300):
+        if g.over:
+            break
+        raw = gen_action(rng, g)
+        assert t.clamp(raw) == g.clamp(raw)
+        t.act(raw)
+        g.act(g.clamp(raw))
+        _native_snapshot_matches(g, t)
+    else:
+        pytest.fail("game did not terminate")
+
+    t.settle()
+    g.settle()
+    assert t.snapshot()["stacks"] == g.stacks
+
+
+def test_native_custom_stacks_all_in_side_pot():
+    deck = list(range(52))
+    g = OracleGame(n=3, small=5, big=10, deck=deck, stacks=[100, 100, 40])
+    t = native.NativeTable(3, 5, 10, deck, stacks=[100, 100, 40])
+    for a in [30, 0, 0, 0, 0, 0, 0, 0, 0]:
+        t.act(a)
+        g.act(g.clamp(a))
+        _native_snapshot_matches(g, t)
+    assert g.over
+    t.settle()
+    g.settle()
+    assert t.snapshot()["stacks"] == g.stacks

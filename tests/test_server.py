@@ -93,20 +93,20 @@ def test_play_mailbox_and_turn_order():
     room = reg.rooms["r"]
 
     # Out of turn: seat1 (b) queues a call; nothing applies until head acts.
-    t0 = int(room.state.time)
+    t0 = room.engine.info()["time"]
     reg.dispatch(b.pid, {"type": "play", "name": "r", "amt": 0})
-    assert int(room.state.time) == t0
+    assert room.engine.info()["time"] == t0
 
     # Head (a, first joiner = seat 2) calls; next head is c (small blind),
     # so b's queued action stays in the mailbox.
     reg.dispatch(a.pid, {"type": "play", "name": "r", "amt": 0})
-    assert int(room.state.time) == t0 + 1
+    assert room.engine.info()["time"] == t0 + 1
 
     # c completes the small blind; b is now head and b's queued call drains
     # immediately (sliding-buffer semantics) -> street ends -> flop.
     reg.dispatch(c.pid, {"type": "play", "name": "r", "amt": 0})
-    assert int(room.state.time) == t0 + 3
-    assert int(room.state.stage) == 1
+    assert room.engine.info()["time"] == t0 + 3
+    assert room.engine.info()["stage"] == 1
 
     # Folded players stop receiving board updates (update-players quirk).
     n_boards_b = len([m for m in b.msgs if isinstance(m, dict) and "bets" in m])
@@ -116,7 +116,7 @@ def test_play_mailbox_and_turn_order():
         > n_boards_b
     boards_c = [m for m in c.msgs if isinstance(m, dict) and "bets" in m]
     last_c_time = boards_c[-1]["time"]
-    assert last_c_time <= int(room.state.time) - 1  # c no longer updated
+    assert last_c_time <= room.engine.info()["time"] - 1  # c no longer updated
 
 
 def test_hand_end_rolls_into_next_hand():
@@ -133,7 +133,7 @@ def test_hand_end_rolls_into_next_hand():
     # Next hand dealt silently: both players got 2 new cards; stacks settled.
     cards_after = len([m for m in a.msgs if isinstance(m, dict) and "card" in m])
     assert cards_after == cards_before + 2
-    assert int(room.state.hand_idx) == 1
+    assert room.engine.info()["hand_idx"] == 1
     # Chips conserved: stacks + next hand's freshly-posted blinds == 200.
     assert reg.stacks[b.pid] + reg.stacks[a.pid] == 200 - 15
     # Button rotated: a (first joiner, seat 1) now posts the small blind.
@@ -191,3 +191,17 @@ def test_tcp_round_trip():
         await server.wait_closed()
 
     asyncio.run(scenario())
+
+
+def test_jax_backend_room_smoke():
+    # The JAX backend stays the always-available fallback; drive one hand.
+    reg = Registry(backend="jax")
+    a, b = Client(reg), Client(reg)
+    reg.dispatch(a.pid, {"type": "new_room", "name": "hu", "n": 2})
+    reg.dispatch(a.pid, {"type": "join_room", "name": "hu"})
+    reg.dispatch(b.pid, {"type": "join_room", "name": "hu"})
+    room = reg.rooms["hu"]
+    assert type(room.engine).__name__ == "JaxBackend"
+    reg.dispatch(b.pid, {"type": "play", "name": "hu", "amt": -1})
+    assert room.engine.info()["hand_idx"] == 1
+    assert reg.stacks[a.pid] + reg.stacks[b.pid] == 200 - 15

@@ -24,6 +24,7 @@ Protocol quirks preserved:
 from __future__ import annotations
 
 import itertools
+import time
 from typing import Callable, Dict, List, Optional
 
 from montecarlo_tpu.engine.public import card_json
@@ -46,7 +47,9 @@ class Room:
     """One table: players, engine backend, pending-action mailboxes."""
 
     def __init__(self, name: str, n: int, blinds: Dict[str, int], seed: int = 0,
-                 backend: str = "auto"):
+                 backend: str = "auto",
+                 action_timeout: Optional[float] = None,
+                 default_action: int = -1):
         self.name = name
         self.n = n
         self.blinds = dict(blinds)
@@ -56,6 +59,12 @@ class Room:
         self.seats: List[str] = []    # seat order (reverse join order)
         self.engine = None
         self.pending: Dict[str, Optional[int]] = {}
+        # Failure-detection policy (absent in the reference: a dropped
+        # client blocks its table forever, player.clj:40). When set, a head
+        # seat idle for action_timeout seconds acts default_action (fold).
+        self.action_timeout = action_timeout
+        self.default_action = default_action
+        self._last_progress = time.monotonic()
 
     @property
     def started(self) -> bool:
@@ -134,16 +143,28 @@ class Room:
         self.engine.set_stacks([registry.stacks[p] for p in self.seats])
         new_hand = self.engine.act(amt)
         self._sync_registry(registry)
+        self._last_progress = time.monotonic()
         if new_hand:
             self._deal_messages(registry)  # fresh hole cards, next hand
         self._broadcast(registry)
+
+    def tick(self, registry: "Registry", now: Optional[float] = None):
+        """Timeout sweep: force the default action for a stalled head seat."""
+        if not self.started or self.action_timeout is None:
+            return
+        now = time.monotonic() if now is None else now
+        if (self.head_pid() is not None
+                and now - self._last_progress >= self.action_timeout):
+            self._board_action(self.default_action, registry)
+            self.drain(registry)
 
 
 class Registry:
     """The global player/room databases (``database.clj:5-6``)."""
 
-    def __init__(self, backend: str = "auto"):
+    def __init__(self, backend: str = "auto", default_action: int = -1):
         self.backend = backend  # "native" | "jax" | "auto"
+        self.default_action = default_action
         self.rooms: Dict[str, Room] = {}
         self.stacks: Dict[str, int] = {}          # global 100-chip stacks
         self.player_rooms: Dict[str, set] = {}
@@ -182,8 +203,16 @@ class Registry:
                 pid, error(-5, "n (number of players) must be a postive integer."))
         if not all(_pos_int(v) for v in blinds.values()):
             return self.send(pid, error(-12, "Blinds must be positive integers"))
+        # "timeout" is a protocol extension (seconds until the head seat is
+        # auto-acted); the reference ignores unknown keys, so may we.
+        timeout = req.get("timeout")
+        if not isinstance(timeout, (int, float)) or isinstance(timeout, bool) \
+                or timeout <= 0:
+            timeout = None
         self.rooms[name] = Room(name, n, blinds, seed=len(self.rooms),
-                                backend=self.backend)
+                                backend=self.backend,
+                                action_timeout=timeout,
+                                default_action=self.default_action)
         self.send(pid, OK)
 
     def join_room(self, pid: str, req: Dict):
@@ -216,6 +245,12 @@ class Registry:
         c1, c2 = room.engine.hole(seat)
         # Newest card first: hands are conj'd lists (player.clj:53-55).
         self.send(pid, {"hand": [card_json(c2), card_json(c1)]})
+
+    def tick(self, now=None):
+        """Periodic failure-detection sweep over all rooms (the asyncio
+        transport calls this; tests inject ``now``)."""
+        for room in list(self.rooms.values()):
+            room.tick(self, now=now)
 
     def whoami(self, pid: str):
         # The reference sends the bare gensym (server.clj:103-105), which

@@ -75,7 +75,14 @@ async def start_server(registry: Optional[Registry] = None,
     async def handler(reader, writer):
         await _handle(registry, reader, writer)
 
+    async def timeout_sweeper():
+        # Failure-detection sweep (rooms created with a "timeout" opt-in).
+        while True:
+            await asyncio.sleep(0.5)
+            registry.tick()
+
     server = await asyncio.start_server(handler, host, port)
+    server._mc_sweeper = asyncio.create_task(timeout_sweeper())
     return server, registry
 
 

@@ -205,3 +205,27 @@ def test_jax_backend_room_smoke():
     reg.dispatch(b.pid, {"type": "play", "name": "hu", "amt": -1})
     assert room.engine.info()["hand_idx"] == 1
     assert reg.stacks[a.pid] + reg.stacks[b.pid] == 200 - 15
+
+
+def test_action_timeout_failure_policy():
+    # Failure detection (absent in the reference, which deadlocks on a
+    # dropped client): rooms created with "timeout" auto-fold stalled heads.
+    import time as _time
+
+    reg = Registry()
+    a, b = Client(reg), Client(reg)
+    reg.dispatch(a.pid, {"type": "new_room", "name": "t", "n": 2, "timeout": 30})
+    reg.dispatch(a.pid, {"type": "join_room", "name": "t"})
+    reg.dispatch(b.pid, {"type": "join_room", "name": "t"})
+    room = reg.rooms["t"]
+    assert room.action_timeout == 30
+
+    reg.tick(now=room._last_progress + 10)   # not yet
+    assert room.engine.info()["time"] == 0
+    reg.tick(now=room._last_progress + 31)   # b (head) is auto-folded
+    assert room.engine.info()["hand_idx"] == 1  # hand ended, next dealt
+
+    # Garbage timeout values are ignored.
+    reg.dispatch(a.pid, {"type": "new_room", "name": "t2", "n": 2,
+                         "timeout": "soon"})
+    assert reg.rooms["t2"].action_timeout is None

@@ -83,9 +83,20 @@ def total_bet(layers: Layers) -> jax.Array:
 
 @jax.jit
 def needed_bet(layers: Layers, seat) -> jax.Array:
-    """Sum of layers the seat is not yet a member of (``helpers.clj:21-27``)."""
-    unmet = _valid(layers) & ~layers.mem[:, seat]
+    """Sum of layers the seat is not yet a member of (``helpers.clj:21-27``).
+
+    Gather-free: the seat column is selected arithmetically (dynamic gathers
+    inside vmapped scans lower poorly on TPU).
+    """
+    seat_col = jnp.arange(layers.num_seats) == seat
+    mem_seat = jnp.any(layers.mem & seat_col[None, :], axis=1)
+    unmet = _valid(layers) & ~mem_seat
     return jnp.sum(jnp.where(unmet, layers.amt, 0))
+
+
+def _pick(x, i):
+    """x[i] for a traced scalar i, without a gather (one-hot reduce)."""
+    return jnp.sum(jnp.where(jnp.arange(x.shape[0]) == i, x, 0))
 
 
 def _added(layers: Layers, seat, row_mask) -> Layers:
@@ -119,7 +130,9 @@ def update_bets(layers: Layers, bet_amt, seat) -> Layers:
     stop = valid & (bet_amt <= prefix)
     has_stop = jnp.any(stop)
     i_star = jnp.argmax(stop)  # first True (0 when none; gated by has_stop)
-    is_eq = has_stop & (bet_amt == prefix[i_star])
+    prefix_at = _pick(prefix, i_star)
+    amt_at = _pick(layers.amt, i_star)
+    is_eq = has_stop & (bet_amt == prefix_at)
     is_split = has_stop & ~is_eq
 
     # Case: bet exactly consumes layers 0..i* -> join all of them.
@@ -127,16 +140,18 @@ def update_bets(layers: Layers, bet_amt, seat) -> Layers:
 
     # Case: bet partially covers layer i* -> join 0..i*-1, split i* into
     # (x, members+seat) / (rest, members), shift the tail right by one.
-    prefix_before = prefix[i_star] - layers.amt[i_star]
-    x = bet_amt - prefix_before
-    src = jnp.clip(jnp.where(idx <= i_star, idx, idx - 1), 0, L - 1)
-    g_amt = jnp.take(layers.amt, src)
-    g_mem = jnp.take(layers.mem, src, axis=0)
-    g_orig = jnp.take(layers.orig, src, axis=0)
-    g_n = jnp.take(layers.n, src)
+    # The shifted read (row j reads j-1 past the split point) is a constant
+    # roll-by-one selected by position — no dynamic gather.
+    x = bet_amt - (prefix_at - amt_at)
+    keep = idx <= i_star
+    g_amt = jnp.where(keep, layers.amt, jnp.roll(layers.amt, 1, axis=0))
+    g_mem = jnp.where(keep[:, None], layers.mem,
+                      jnp.roll(layers.mem, 1, axis=0))
+    g_orig = jnp.where(keep[:, None], layers.orig,
+                       jnp.roll(layers.orig, 1, axis=0))
+    g_n = jnp.where(keep, layers.n, jnp.roll(layers.n, 1, axis=0))
     sp_amt = jnp.where(idx == i_star, x,
-                       jnp.where(idx == i_star + 1, layers.amt[i_star] - x,
-                                 g_amt))
+                       jnp.where(idx == i_star + 1, amt_at - x, g_amt))
     sp = layers._replace(amt=sp_amt, mem=g_mem, orig=g_orig, n=g_n)
     sp = _added(sp, seat, idx <= i_star)
     sp = sp._replace(
@@ -184,17 +199,22 @@ def merge_bets(layers: Layers) -> Layers:
 
     sel = (gid[None, :] == idx[:, None]) & valid[None, :]  # [group, layer]
     out_amt = jnp.sum(jnp.where(sel, layers.amt[None, :], 0), axis=1)
-    first = jnp.argmax(sel, axis=1)
-    last = L - 1 - jnp.argmax(sel[:, ::-1], axis=1)
+    # Member sets are equal within a group: OR-reduce through the selection
+    # matrix instead of gathering the first row. The merged n is the LAST
+    # group member's (bet.clj:20-23): mask to rows not followed by a
+    # same-group row.
+    out_mem = jnp.any(sel[:, :, None] & layers.mem[None, :, :], axis=1)
+    out_orig = jnp.any(sel[:, :, None] & layers.orig[None, :, :], axis=1)
+    is_last = valid & ~jnp.concatenate(
+        [same_prev[1:], jnp.zeros((1,), jnp.bool_)])
+    out_n = jnp.sum(jnp.where(sel & is_last[None, :], layers.n[None, :], 0),
+                    axis=1)
     out_valid = idx < n_groups
-    zero_mem = jnp.zeros_like(layers.mem)
     return layers._replace(
         amt=jnp.where(out_valid, out_amt, 0),
-        mem=jnp.where(out_valid[:, None], jnp.take(layers.mem, first, axis=0),
-                      zero_mem),
-        orig=jnp.where(out_valid[:, None], jnp.take(layers.orig, first, axis=0),
-                       zero_mem),
-        n=jnp.where(out_valid, jnp.take(layers.n, last), 0),
+        mem=out_mem & out_valid[:, None],
+        orig=out_orig & out_valid[:, None],
+        n=jnp.where(out_valid, out_n, 0),
         count=n_groups,
     )
 

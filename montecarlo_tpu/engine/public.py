@@ -7,6 +7,10 @@ clock, and per-player public stacks. Hole cards stay private (served per
 player by the ``hand`` query, newest card first — hands are conj'd lists,
 ``player.clj:53-55``).
 
+Device state is indexed by hand-order *position*; ``ids`` are indexed by
+stable *seat*. ``seat = (button + position) % P`` bridges the two here, at
+the host boundary.
+
 Pure host code (numpy on a single unbatched state) — used by the TCP server
 and by trace-conformance tests; never on the device hot path.
 """
@@ -33,24 +37,24 @@ def _np(state: TableState) -> TableState:
     return jax.tree.map(np.asarray, state._replace(key=np.zeros(())))
 
 
-def _seat_ids(mask, ids: Sequence[str], order: Sequence[int]) -> List[str]:
-    return [ids[s] for s in order if mask[s]]
-
-
-def hand_order(state: TableState) -> List[int]:
-    """Seats in hand order (the reference's rotated players-list order)."""
+def ids_by_position(state: TableState, ids: Sequence[str]) -> List[str]:
+    """Player ids in hand-order (position) order."""
     P = state.num_seats
     button = int(state.button)
-    return [(button + j) % P for j in range(P)]
+    return [ids[(button + j) % P] for j in range(P)]
 
 
-def _layers_json(layers, ids: Sequence[str], order: Sequence[int]) -> List[Dict]:
+def _pos_ids(mask, ids_pos: Sequence[str]) -> List[str]:
+    return [ids_pos[j] for j in range(len(ids_pos)) if mask[j]]
+
+
+def _layers_json(layers, ids_pos: Sequence[str]) -> List[Dict]:
     out = []
     for i in range(int(layers.count)):
         out.append({
             "bet": int(layers.amt[i]),
-            "players": _seat_ids(np.asarray(layers.mem[i]), ids, order),
-            "original-players": _seat_ids(np.asarray(layers.orig[i]), ids, order),
+            "players": _pos_ids(np.asarray(layers.mem[i]), ids_pos),
+            "original-players": _pos_ids(np.asarray(layers.orig[i]), ids_pos),
             "n": int(layers.n[i]),
         })
     return out
@@ -59,22 +63,22 @@ def _layers_json(layers, ids: Sequence[str], order: Sequence[int]) -> List[Dict]
 def public_board(state: TableState, ids: Sequence[str]) -> Dict:
     """The client-visible board map (``helpers.clj:33-43``).
 
-    ``ids[seat]`` names each seat. Player sets are emitted in hand order
-    (the reference serializes Clojure sets, whose order is unspecified).
+    ``ids[seat]`` names each stable seat. Player sets are emitted in hand
+    order (the reference serializes Clojure sets, whose order is
+    unspecified).
     """
     st = _np(state)
-    order = hand_order(st)
+    P = st.num_seats
+    ids_pos = ids_by_position(st, ids)
     n_players = int(np.sum(st.in_hand))
 
     # play-order: first |players| elements of the filtered cycle from cursor
     # (helpers.clj:37-39).
-    P = st.num_seats
     play_order: List[str] = []
     j = int(st.cursor)
     while len(play_order) < n_players and n_players > 0:
-        seat = (int(st.button) + j % P) % P
-        if st.order_mask[seat]:
-            play_order.append(ids[seat])
+        if st.order_mask[j % P]:
+            play_order.append(ids_pos[j % P])
         j += 1
         if j > int(st.cursor) + 2 * P:  # order_mask ⊇ in_hand: can't happen
             break
@@ -82,19 +86,20 @@ def public_board(state: TableState, ids: Sequence[str]) -> Dict:
     return {
         "community-cards": [card_json(c) for c in
                             st.community[: int(st.n_community)]],
-        "bets": _layers_json(st.bets, ids, order),
-        "pots": _layers_json(st.pots, ids, order),
-        "remaining-players": _seat_ids(st.to_act, ids, order),
+        "bets": _layers_json(st.bets, ids_pos),
+        "pots": _layers_json(st.pots, ids_pos),
+        "remaining-players": _pos_ids(st.to_act, ids_pos),
         "play-order": play_order,
         "time": int(st.time),
-        "players": [{"id": ids[s], "stack": int(st.stacks[s])}
-                    for s in order if st.in_hand[s]],
+        "players": [{"id": ids_pos[j], "stack": int(st.stacks[j])}
+                    for j in range(P) if st.in_hand[j]],
     }
 
 
 def player_hand_json(state: TableState, seat: int) -> List[Dict]:
-    """The ``hand`` query payload: hole cards, newest first
-    (``server.clj:92-101``; hands are conj'd lists so the second-dealt card
-    leads)."""
+    """The ``hand`` query payload for a stable seat: hole cards, newest
+    first (``server.clj:92-101``; hands are conj'd lists so the second-dealt
+    card leads)."""
     st = _np(state)
-    return [card_json(st.hole[seat, 1]), card_json(st.hole[seat, 0])]
+    pos = (seat - int(st.button)) % st.num_seats
+    return [card_json(st.hole[pos, 1]), card_json(st.hole[pos, 0])]

@@ -8,11 +8,17 @@ just a leading axis and a full betting hand is a ``lax.scan``.
 
 Array encodings of the reference's dynamic structures:
 
+- All per-player arrays are indexed by **hand-order position** (position 0
+  posts the small blind this hand), not by a fixed seat: dealing, blinds,
+  and the play-order head are then pure static-index/arithmetic ops with no
+  dynamic gathers (which lower poorly inside vmapped scans on TPU). The
+  players-list rotation at hand end (``gameplay.clj:136-137``) is a
+  constant ``roll`` of the persistent arrays; ``button`` (+1 per hand) maps
+  positions to stable seats only at the host boundary:
+  ``seat = (button + position) % P``.
 - ``play-order`` (a lazy ``(cycle ids)`` with folds filtered, ``board.clj:21``)
-  becomes ``(button, cursor, order_mask)``: hand-order position ``j`` maps to
-  seat ``(button + j) % P``; the head is the first unmasked seat scanning
-  from ``cursor``. The button advances one seat per hand, replacing the
-  players-list rotation at ``gameplay.clj:136-137``.
+  becomes ``(cursor, order_mask)``: the head is the first unmasked position
+  scanning cyclically from ``cursor`` — an arithmetic min-reduction.
 - ``(shuffle COMPLETE-DECK)`` (``board.clj:148``, ``gameplay.clj:145``)
   becomes a counter-based threefry permutation keyed by (table key,
   hand_idx) — reproducible and parallel-safe across millions of tables.
@@ -111,11 +117,6 @@ def init_state(key: jax.Array, cfg: TableConfig) -> TableState:
     return begin_hand(state)
 
 
-def _seat_at(state: TableState, order_pos) -> jax.Array:
-    """Seat occupying hand-order position ``order_pos``."""
-    return (state.button + order_pos) % state.num_seats
-
-
 @jax.jit
 def begin_hand(state: TableState) -> TableState:
     """Reset per-hand state, shuffle, post blinds, deal (the tail of
@@ -132,9 +133,8 @@ def begin_hand(state: TableState) -> TableState:
     ).astype(I32)
 
     # deal-hand (gameplay.clj:63-75): one card at a time round-robin in hand
-    # order, so order-position j receives deck[j] and deck[P + j].
-    j = (jnp.arange(P) - state.button) % P  # hand-order position of each seat
-    hole = jnp.stack([deck[j], deck[P + j]], axis=1)
+    # order, so position j receives deck[j] and deck[P + j] (static slices).
+    hole = jnp.stack([deck[:P], deck[P:2 * P]], axis=1)
     # Streets with burns (gameplay.clj:30-54): burn 1 + flop 3, burn 1 +
     # turn 1, burn 1 + river 1, starting right after the 2P hole cards.
     base = 2 * P
@@ -147,16 +147,14 @@ def begin_hand(state: TableState) -> TableState:
     ones = jnp.ones((P,), jnp.bool_)
     bets = empty_layers(state.bets.capacity, P)
 
-    # play-blinds (gameplay.clj:77-88): order-position 0 posts small,
-    # position 1 posts big; play-order drops 2; blinds do not touch
-    # remaining-players or the clock.
-    sb_seat = _seat_at(state, 0)
-    bb_seat = _seat_at(state, 1)
+    # play-blinds (gameplay.clj:77-88): position 0 posts small, position 1
+    # posts big; play-order drops 2; blinds do not touch remaining-players
+    # or the clock.
     stacks = state.stacks
-    stacks = stacks.at[sb_seat].add(-state.small_blind)
-    bets = update_bets(bets, state.small_blind, sb_seat)
-    stacks = stacks.at[bb_seat].add(-state.big_blind)
-    bets = update_bets(bets, state.big_blind, bb_seat)
+    stacks = stacks.at[0].add(-state.small_blind)
+    bets = update_bets(bets, state.small_blind, 0)
+    stacks = stacks.at[1].add(-state.big_blind)
+    bets = update_bets(bets, state.big_blind, 1)
 
     return state._replace(
         deck=deck,
@@ -189,8 +187,7 @@ def redeal(state: TableState, deck) -> TableState:
     """
     P = state.num_seats
     deck = jnp.asarray(deck, I32)
-    j = (jnp.arange(P) - state.button) % P
-    hole = jnp.stack([deck[j], deck[P + j]], axis=1)
+    hole = jnp.stack([deck[:P], deck[P:2 * P]], axis=1)
     base = 2 * P
     community = jnp.stack([
         deck[base + 1], deck[base + 2], deck[base + 3],
@@ -202,12 +199,15 @@ def redeal(state: TableState, deck) -> TableState:
 
 @jax.jit
 def next_hand(state: TableState) -> TableState:
-    """Advance the button (players-list rotation, ``gameplay.clj:136-137``),
-    bump the hand counter, and deal the next hand. Stacks persist; busted
-    players are never eliminated (reference quirk — blinds may drive stacks
-    negative, ``gameplay.clj:83-88``)."""
+    """Rotate the players list (``gameplay.clj:136-137``), bump the hand
+    counter, and deal the next hand. Positional state rotates left by one —
+    a constant roll — so new position 0 (the next small blind) is the old
+    position 1; the button metadata advances for host seat-mapping. Stacks
+    persist; busted players are never eliminated (reference quirk — blinds
+    may drive stacks negative, ``gameplay.clj:83-88``)."""
     P = state.num_seats
     return begin_hand(state._replace(
+        stacks=jnp.roll(state.stacks, -1),
         button=(state.button + 1) % P,
         hand_idx=state.hand_idx + 1,
     ))

@@ -57,21 +57,28 @@ I32 = jnp.int32
 
 
 def head_info(state: TableState) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(head seat, cursor-after-rest, head exists).
+    """(head position, cursor-after-rest, head exists).
 
-    The head is the first seat still in the play-order cycle, scanning
-    hand-order positions from ``cursor`` (the array form of taking the first
-    element of the reference's filtered lazy cycle, ``board.clj:34``).
+    The head is the first hand-order position still in the play-order cycle,
+    scanning from ``cursor`` (the array form of taking the first element of
+    the reference's filtered lazy cycle, ``board.clj:34``). Pure arithmetic
+    min-reduction — no dynamic gather (state is positional; the button maps
+    positions to seats only at the host boundary).
     """
     P = state.num_seats
-    offsets = (state.cursor + jnp.arange(P)) % P
-    seats = (state.button + offsets) % P
-    mask = state.order_mask[seats]
-    k = jnp.argmax(mask)
-    seat = seats[k]
-    exists = jnp.any(mask)
-    cursor_after = (offsets[k] + 1) % P
-    return seat, cursor_after, exists
+    pos = jnp.arange(P)
+    prio = (pos - state.cursor) % P
+    masked = jnp.where(state.order_mask, prio, P)
+    k = jnp.min(masked)
+    exists = k < P
+    head = (state.cursor + k) % P
+    cursor_after = (state.cursor + k + 1) % P
+    return head, cursor_after, exists
+
+
+def _pick(x, i):
+    """x[i] for traced scalar i without a gather."""
+    return jnp.sum(jnp.where(jnp.arange(x.shape[0]) == i, x, 0))
 
 
 @jax.jit
@@ -80,7 +87,7 @@ def clamp_action(state: TableState, action) -> jax.Array:
     clamped to ``[0, stack - needed]`` — an unaffordable raise becomes a
     call. Fold/call pass through."""
     seat, _, _ = head_info(state)
-    cap = state.stacks[seat] - needed_bet(state.bets, seat)
+    cap = _pick(state.stacks, seat) - needed_bet(state.bets, seat)
     clamped = jnp.maximum(0, jnp.minimum(action, cap))
     return jnp.where(action > 0, clamped, action)
 
@@ -107,7 +114,7 @@ def apply_action(state: TableState, action) -> TableState:
     bets = state.bets
     bet_amt = total_bet(bets)
     delta = needed_bet(bets, seat)
-    stack = state.stacks[seat]
+    stack = _pick(state.stacks, seat)
 
     is_check = is_call & (bet_amt == 0)
     threads = (is_call & (bet_amt > 0)) | is_raise
@@ -148,16 +155,27 @@ def game_end(state: TableState) -> jax.Array:
 
 
 def append_layers(dst: Layers, src: Layers) -> Layers:
-    """``(concat pots bets)`` on fixed-shape layer matrices."""
-    PL = dst.capacity
+    """``(concat pots bets)`` on fixed-shape layer matrices.
+
+    Gather-free: the shifted copy goes through a [PL, L] placement matrix
+    (tiny boolean einsum) instead of a dynamic gather.
+    """
+    PL, L = dst.capacity, src.capacity
     idx = jnp.arange(PL)
-    src_idx = jnp.clip(idx - dst.count, 0, src.capacity - 1)
-    take = (idx >= dst.count) & (idx < dst.count + src.count)
+    src_idx = jnp.arange(L)
+    # place[j, s]: output row j receives source row s.
+    place = (idx[:, None] == src_idx[None, :] + dst.count) \
+        & (src_idx[None, :] < src.count)
+    take = jnp.any(place, axis=1)
+    p_amt = jnp.sum(jnp.where(place, src.amt[None, :], 0), axis=1)
+    p_mem = jnp.any(place[:, :, None] & src.mem[None, :, :], axis=1)
+    p_orig = jnp.any(place[:, :, None] & src.orig[None, :, :], axis=1)
+    p_n = jnp.sum(jnp.where(place, src.n[None, :], 0), axis=1)
     return Layers(
-        amt=jnp.where(take, jnp.take(src.amt, src_idx), dst.amt),
-        mem=jnp.where(take[:, None], jnp.take(src.mem, src_idx, axis=0), dst.mem),
-        orig=jnp.where(take[:, None], jnp.take(src.orig, src_idx, axis=0), dst.orig),
-        n=jnp.where(take, jnp.take(src.n, src_idx), dst.n),
+        amt=jnp.where(take, p_amt, dst.amt),
+        mem=jnp.where(take[:, None], p_mem, dst.mem),
+        orig=jnp.where(take[:, None], p_orig, dst.orig),
+        n=jnp.where(take, p_n, dst.n),
         count=jnp.minimum(dst.count + src.count, PL),
         overflow=dst.overflow | src.overflow
         | (dst.count + src.count > PL),

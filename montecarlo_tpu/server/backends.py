@@ -160,31 +160,42 @@ class JaxBackend:
         self.state = state._replace(
             stacks=jnp.asarray(np.asarray(stacks, np.int32) + posted))
 
+    # Device state is positional; seats are stable. seat = (button+pos)%n.
+    def _pos(self, seat: int) -> int:
+        return (seat - int(self.state.button)) % self.n
+
+    def _seat(self, pos: int) -> int:
+        return (int(self.state.button) + pos) % self.n
+
     def info(self) -> Dict:
         return {"time": int(self.state.time), "stage": int(self.state.stage),
                 "hand_idx": int(self.state.hand_idx)}
 
     def stacks(self) -> List[int]:
-        return np.asarray(self.state.stacks).tolist()
+        pos_stacks = np.asarray(self.state.stacks)
+        return [int(pos_stacks[self._pos(s)]) for s in range(self.n)]
 
     def set_stacks(self, stacks: Sequence[int]):
         import jax.numpy as jnp
 
+        positional = [stacks[self._seat(j)] for j in range(self.n)]
         self.state = self.state._replace(
-            stacks=jnp.asarray(np.asarray(stacks, np.int32)))
+            stacks=jnp.asarray(np.asarray(positional, np.int32)))
 
     def in_hand_seats(self) -> List[int]:
-        return np.nonzero(np.asarray(self.state.in_hand))[0].tolist()
+        pos = np.nonzero(np.asarray(self.state.in_hand))[0].tolist()
+        return sorted(self._seat(j) for j in pos)
 
     def hole(self, seat: int):
         h = np.asarray(self.state.hole)
-        return int(h[seat, 0]), int(h[seat, 1])
+        j = self._pos(seat)
+        return int(h[j, 0]), int(h[j, 1])
 
     def head_seat(self) -> Optional[int]:
         from montecarlo_tpu.engine.step import head_info
 
-        seat, _, exists = head_info(self.state)
-        return int(seat) if bool(exists) else None
+        pos, _, exists = head_info(self.state)
+        return self._seat(int(pos)) if bool(exists) else None
 
     def act(self, amt: int) -> bool:
         import jax.numpy as jnp

@@ -226,12 +226,13 @@ def test_step_table_continuous_next_hand():
     assert int(st2.button) == 1
     assert int(st2.stage) == 0 and int(st2.time) == 0
     assert not bool(st2.hand_over)
-    # New blinds: seat1 is now order-position 0 (small), seat0 big.
-    assert layers_spec(st2.bets) == [(5, fs(0, 1), fs(0, 1), 2), (5, fs(0), fs(0), 1)]
-    # p1 folded to the 5/10 blinds: lost SB 5; p2 won pot layers 5*2+5*1=15
-    # minted... p2 contributed 10, p1 5; payout = 15 -> conserved. Then new
-    # blinds: p2 (SB now) -5, p1 (BB) -10.
-    assert np.asarray(st2.stacks).tolist() == [95 - 10, 105 - 5]
+    # State is positional: new position 0 = old position 1 (seat 1), who now
+    # posts the small blind; position 1 (seat 0) posts the big blind.
+    assert layers_spec(st2.bets) == [(5, fs(0, 1), fs(0, 1), 2), (5, fs(1), fs(1), 1)]
+    # p1 folded to the 5/10 blinds: p2 won 5*2+5*1=15 (contributed 10, p1 5:
+    # conserved). Then new blinds: p2 (SB now, position 0) -5, p1 (BB,
+    # position 1) -10.
+    assert np.asarray(st2.stacks).tolist() == [105 - 5, 95 - 10]
 
 
 def test_clamp_action_matches_player_validation():

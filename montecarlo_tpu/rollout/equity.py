@@ -196,6 +196,106 @@ def equity_vs_random(
     return EquityResult(wins=w, ties=t, losses=n - w - t, n=n)
 
 
+def expand_range(labels: Sequence[str]) -> np.ndarray:
+    """Expand canonical hand labels ('AA', 'AKs', 'T9o', ...) to all combos.
+
+    Returns an [R, 2] int32 array of hole-card pairs: 6 combos per pair,
+    4 per suited label, 12 per offsuit label.
+    """
+    names = "23456789TJQKA"
+    combos = []
+    for label in labels:
+        r1, r2 = names.index(label[0]) + 2, names.index(label[1]) + 2
+        kind = label[2:] or ("pair" if r1 == r2 else None)
+        if r1 == r2:
+            for s1 in range(4):
+                for s2 in range(s1 + 1, 4):
+                    combos.append((make_card(s1, r1), make_card(s2, r1)))
+        elif kind == "s":
+            for s in range(4):
+                combos.append((make_card(s, r1), make_card(s, r2)))
+        elif kind == "o":
+            for s1 in range(4):
+                for s2 in range(4):
+                    if s1 != s2:
+                        combos.append((make_card(s1, r1), make_card(s2, r2)))
+        else:
+            raise ValueError(f"bad hand label {label!r}")
+    return np.array(combos, dtype=np.int32)
+
+
+def _sort4(a, b, c, d):
+    """Ascending sort of four int arrays (5-comparator network)."""
+    lo1, hi1 = jnp.minimum(a, b), jnp.maximum(a, b)
+    lo2, hi2 = jnp.minimum(c, d), jnp.maximum(c, d)
+    x0 = jnp.minimum(lo1, lo2)
+    t1 = jnp.maximum(lo1, lo2)
+    t2 = jnp.minimum(hi1, hi2)
+    x3 = jnp.maximum(hi1, hi2)
+    return x0, jnp.minimum(t1, t2), jnp.maximum(t1, t2), x3
+
+
+@partial(jax.jit, static_argnames=("batch", "n_chunks"))
+def _equity_vs_range_device(key, hero, combos, cdf, batch: int, n_chunks: int):
+    hero_masks = suit_masks_from_cards(hero)
+
+    def chunk(carry, i):
+        w, t = carry
+        kv, kb = jax.random.split(jax.random.fold_in(key, i))
+        # Weighted villain combo per rollout (inverse-CDF draw).
+        u = jax.random.uniform(kv, (batch,))
+        idx = jnp.searchsorted(cdf, u, side="right")
+        villain = jnp.take(combos, jnp.minimum(idx, combos.shape[0] - 1),
+                           axis=0)                      # [batch, 2]
+        d0, d1, d2, d3 = _sort4(hero[0], hero[1],
+                                villain[:, 0], villain[:, 1])
+        slots = sample_distinct(kb, 48, 5, batch)
+        cards = slots
+        for d in (d0, d1, d2, d3):                       # per-rollout dead
+            cards = cards + (cards >= d[:, None])
+        bm = suit_masks_from_cards(cards)
+        vh = eval_masks(*[m | h for m, h in zip(bm, hero_masks)])
+        vv = eval_masks(*[m | x for m, x in zip(bm, suit_masks_from_cards(villain))])
+        return (w + jnp.sum((vh > vv).astype(I32)),
+                t + jnp.sum((vh == vv).astype(I32))), None
+
+    (w, t), _ = jax.lax.scan(
+        chunk, (jnp.zeros((), I32), jnp.zeros((), I32)),
+        jnp.arange(n_chunks))
+    return w, t
+
+
+def equity_vs_range(
+    key,
+    hero: Sequence[int],
+    villain_range,
+    n_rollouts: int,
+    weights=None,
+    batch_size: int = 1 << 20,
+) -> EquityResult:
+    """Hero vs a (weighted) villain range.
+
+    ``villain_range``: [R, 2] combos (see ``expand_range``) — combos
+    colliding with the hero's cards are dropped (weights renormalize).
+    """
+    hero_np = np.asarray(hero, np.int32)
+    combos = np.asarray(villain_range, np.int32).reshape(-1, 2)
+    w = np.ones(combos.shape[0]) if weights is None else np.asarray(weights, float)
+    keep = ~np.isin(combos, hero_np).any(axis=1)
+    combos, w = combos[keep], w[keep]
+    if combos.size == 0:
+        raise ValueError("villain range is empty after removing hero cards")
+    cdf = np.cumsum(w) / np.sum(w)
+
+    batch, n_chunks = _chunking(n_rollouts, batch_size)
+    wins, ties = _equity_vs_range_device(
+        key, jnp.asarray(hero_np), jnp.asarray(combos),
+        jnp.asarray(cdf, jnp.float32), batch, n_chunks)
+    n = batch * n_chunks
+    wins, ties = int(wins), int(ties)
+    return EquityResult(wins=wins, ties=ties, losses=n - wins - ties, n=n)
+
+
 def equity_exact(hero: Sequence[int], villain: Sequence[int],
                  chunk: int = 1 << 18) -> EquityResult:
     """EXACT hand-vs-hand equity by enumerating all C(48,5) = 1,712,304

@@ -117,3 +117,34 @@ def test_equity_exact_symmetric_matchup():
     b = [make_card(D, 14), make_card(D, 13)]
     r = equity_exact(a, b)
     assert abs(r.equity - 0.5) < 1e-12
+
+
+def test_expand_range():
+    from montecarlo_tpu.rollout.equity import expand_range
+
+    assert expand_range(["AA"]).shape == (6, 2)
+    assert expand_range(["AKs"]).shape == (4, 2)
+    assert expand_range(["AKo"]).shape == (12, 2)
+    combos = expand_range(["QQ", "AKs"])
+    assert combos.shape == (10, 2)
+
+
+def test_equity_vs_range():
+    from montecarlo_tpu.rollout.equity import equity_vs_range, expand_range
+
+    hero = [make_card(H, 14), make_card(D, 14)]  # AA
+    rng = expand_range(["QQ", "KK"])
+    res = equity_vs_range(jax.random.key(11), hero, rng, 120_000)
+    assert 0.77 < res.equity < 0.87, res.equity  # ~0.82 vs either pair
+
+    # Degenerate one-combo range must match equity_vs_hand closely.
+    villain = [[make_card(S, 12), make_card(C, 12)]]
+    a = equity_vs_range(jax.random.key(12), hero, villain, 150_000)
+    b = equity_vs_hand(jax.random.key(13), hero, villain[0], 150_000)
+    assert abs(a.equity - b.equity) < 0.01
+
+    # Hero-colliding combos are dropped (AA range vs AA hero leaves the
+    # spade/club combo only).
+    res2 = equity_vs_range(jax.random.key(14), hero, expand_range(["AA"]),
+                           60_000)
+    assert res2.n > 0

@@ -31,6 +31,7 @@ Array encodings of the reference's dynamic structures:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -56,6 +57,14 @@ class TableConfig:
     starting_stack: int = 100
     max_layers: int = 12       # per-street bet layers (L)
     max_pot_layers: int = 24   # accumulated across 4 streets (PL)
+    # "reference": bit-exact Clojure semantics, quirks included (n-inflation
+    # chip minting, all-in seats excluded from showdown, lost remainders).
+    # "standard": real poker accounting — calls/raises capped at the stack
+    # (all-in for less splits a side pot), all-in seats stay eligible at
+    # showdown, boards run out when betting is closed, pots pay
+    # amt * |contributors| with odd chips to the first-position winner;
+    # chips are exactly conserved.
+    rules: str = "reference"
 
 
 class TableState(NamedTuple):
@@ -73,6 +82,7 @@ class TableState(NamedTuple):
     button: jax.Array       # i32[] hand-order offset (rotates each hand)
     cursor: jax.Array       # i32[] play-order scan start (hand-order space)
     in_hand: jax.Array      # bool[P] reference :players membership
+    all_in: jax.Array       # bool[P] standard-rules all-in (showdown-live)
     folded: jax.Array       # bool[P] filtered out of play-order
     order_mask: jax.Array   # bool[P] current play-order cycle membership
     to_act: jax.Array       # bool[P] reference :remaining-players
@@ -104,6 +114,7 @@ def init_state(key: jax.Array, cfg: TableConfig) -> TableState:
         button=jnp.zeros((), I32),
         cursor=jnp.zeros((), I32),
         in_hand=ones,
+        all_in=jnp.zeros((P,), jnp.bool_),
         folded=jnp.zeros((P,), jnp.bool_),
         order_mask=ones,
         to_act=ones,
@@ -114,16 +125,19 @@ def init_state(key: jax.Array, cfg: TableConfig) -> TableState:
         big_blind=jnp.asarray(cfg.big_blind, I32),
         hand_over=jnp.zeros((), jnp.bool_),
     )
-    return begin_hand(state)
+    return begin_hand(state, rules=cfg.rules)
 
 
-@jax.jit
-def begin_hand(state: TableState) -> TableState:
+@partial(jax.jit, static_argnames=("rules",))
+def begin_hand(state: TableState, rules: str = "reference") -> TableState:
     """Reset per-hand state, shuffle, post blinds, deal (the tail of
     ``gameplay.clj:122-150`` plus ``play-blinds``/``deal-hand``).
 
     Caller is responsible for ``button``/``hand_idx`` (advanced by
-    ``next_hand``; left alone for the first hand).
+    ``next_hand``; left alone for the first hand). Under standard rules
+    blind posts cap at the stack (an all-in blind) and busted seats sit out
+    as all-in-for-nothing; the reference posts full blinds unconditionally
+    (stacks go negative, ``gameplay.clj:83-88``).
     """
     P = state.num_seats
     from montecarlo_tpu.engine.bets import update_bets  # local: avoid cycle
@@ -151,10 +165,26 @@ def begin_hand(state: TableState) -> TableState:
     # posts big; play-order drops 2; blinds do not touch remaining-players
     # or the clock.
     stacks = state.stacks
-    stacks = stacks.at[0].add(-state.small_blind)
-    bets = update_bets(bets, state.small_blind, 0)
-    stacks = stacks.at[1].add(-state.big_blind)
-    bets = update_bets(bets, state.big_blind, 1)
+    if rules == "standard":
+        def post(stacks, bets, pos, amount):
+            pay = jnp.clip(amount, 0, jnp.maximum(stacks[pos], 0))
+            stacks = stacks.at[pos].add(-pay)
+            posted = update_bets(bets, pay, pos)
+            bets = jax.tree.map(
+                lambda a, b: jnp.where(pay > 0, a, b), posted, bets)
+            return stacks, bets
+
+        stacks, bets = post(stacks, bets, 0, state.small_blind)
+        stacks, bets = post(stacks, bets, 1, state.big_blind)
+        all_in = stacks <= 0  # all-in blinds and busted seats sit out
+        actable = ~all_in
+    else:
+        stacks = stacks.at[0].add(-state.small_blind)
+        bets = update_bets(bets, state.small_blind, 0)
+        stacks = stacks.at[1].add(-state.big_blind)
+        bets = update_bets(bets, state.big_blind, 1)
+        all_in = jnp.zeros((P,), jnp.bool_)
+        actable = jnp.ones((P,), jnp.bool_)
 
     return state._replace(
         deck=deck,
@@ -165,9 +195,10 @@ def begin_hand(state: TableState) -> TableState:
         time=jnp.zeros((), I32),
         cursor=jnp.full((), 2 % P, I32),
         in_hand=ones,
+        all_in=all_in,
         folded=jnp.zeros((P,), jnp.bool_),
-        order_mask=ones,
-        to_act=ones,
+        order_mask=actable,
+        to_act=actable,
         stacks=stacks,
         bets=bets,
         pots=empty_layers(state.pots.capacity, P),
@@ -197,8 +228,8 @@ def redeal(state: TableState, deck) -> TableState:
     return state._replace(deck=deck, hole=hole, community=community)
 
 
-@jax.jit
-def next_hand(state: TableState) -> TableState:
+@partial(jax.jit, static_argnames=("rules",))
+def next_hand(state: TableState, rules: str = "reference") -> TableState:
     """Rotate the players list (``gameplay.clj:136-137``), bump the hand
     counter, and deal the next hand. Positional state rotates left by one —
     a constant roll — so new position 0 (the next small blind) is the old
@@ -210,4 +241,4 @@ def next_hand(state: TableState) -> TableState:
         stacks=jnp.roll(state.stacks, -1),
         button=(state.button + 1) % P,
         hand_idx=state.hand_idx + 1,
-    ))
+    ), rules=rules)

@@ -36,6 +36,7 @@ Documented divergences (reference behavior is a crash, not a semantic):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -96,11 +97,16 @@ def _select_tree(pred, a, b):
     return jax.tree.map(lambda xa, xb: jnp.where(pred, xa, xb), a, b)
 
 
-@jax.jit
-def apply_action(state: TableState, action) -> TableState:
+@partial(jax.jit, static_argnames=("rules",))
+def apply_action(state: TableState, action, rules: str = "reference"
+                 ) -> TableState:
     """Apply one fold/call/raise by the current head (``board.clj:31-97``).
 
     Unconditional — callers gate on ``hand_over``/head existence.
+
+    ``rules="reference"`` is bit-exact to the Clojure code (quirks
+    included); ``rules="standard"`` is real poker accounting (see
+    ``TableConfig.rules``).
     """
     P = state.num_seats
     seat, cursor_after, _ = head_info(state)
@@ -119,26 +125,53 @@ def apply_action(state: TableState, action) -> TableState:
     is_check = is_call & (bet_amt == 0)
     threads = (is_call & (bet_amt > 0)) | is_raise
 
-    amount = jnp.where(is_raise, r + bet_amt, bet_amt)
+    if rules == "standard":
+        # Payments cap at the stack: an all-in for less joins only what it
+        # can cover, splitting a side pot inside update_bets.
+        pay_call = jnp.minimum(delta, stack)
+        pay_raise = jnp.minimum(delta + r, stack)
+        amount = jnp.where(is_raise,
+                           r + bet_amt - (delta + r - pay_raise),
+                           bet_amt - (delta - pay_call))
+        paid = jnp.where(threads, jnp.where(is_raise, pay_raise, pay_call), 0)
+    else:
+        # Reference: call pays the full delta (stacks may go negative,
+        # gameplay.clj:83-88 has no floor); raise threads r + total.
+        amount = jnp.where(is_raise, r + bet_amt, bet_amt)
+        paid = jnp.where(threads, jnp.where(is_raise, delta + r, delta), 0)
+
     threaded = update_bets(bets, amount, seat)
     after_fold = merge_bets(remove_player(bets, seat))
     after_check = merge_bets(bets)
     new_bets = _select_tree(
         is_fold, after_fold, _select_tree(is_check, after_check, threaded))
 
-    paid = jnp.where(threads, jnp.where(is_raise, delta + r, delta), 0)
-    all_in = threads & (paid == stack)
-
-    in_hand = state.in_hand & ~(onehot & (is_fold | all_in))
-    to_act = jnp.where(is_raise, in_hand & ~onehot, state.to_act & ~onehot)
+    went_all_in = threads & (paid == stack)
+    if rules == "standard":
+        # All-in seats stop acting but stay live for the showdown.
+        in_hand = state.in_hand & ~(onehot & is_fold)
+        all_in = state.all_in | (onehot & went_all_in)
+        actable = in_hand & ~all_in
+        to_act = jnp.where(is_raise, actable & ~onehot,
+                           state.to_act & ~onehot)
+        order_mask = state.order_mask & ~(onehot & (is_fold | went_all_in))
+    else:
+        # Reference quirk: exact-equality all-ins leave :players entirely —
+        # excluded from showdown evaluation (board.clj:53-60, 80-89).
+        in_hand = state.in_hand & ~(onehot & (is_fold | went_all_in))
+        all_in = state.all_in
+        to_act = jnp.where(is_raise, in_hand & ~onehot,
+                           state.to_act & ~onehot)
+        order_mask = state.order_mask & ~(onehot & is_fold)
 
     return state._replace(
         time=state.time + 1,
         bets=new_bets,
         stacks=state.stacks - jnp.where(onehot, paid, 0),
         in_hand=in_hand,
+        all_in=all_in,
         folded=state.folded | (onehot & is_fold),
-        order_mask=state.order_mask & ~(onehot & is_fold),
+        order_mask=order_mask,
         to_act=to_act,
         cursor=jnp.where(is_fold, state.cursor, cursor_after),
     )
@@ -182,18 +215,20 @@ def append_layers(dst: Layers, src: Layers) -> Layers:
     )
 
 
-def stage_transition(state: TableState) -> TableState:
+def stage_transition(state: TableState, rules: str = "reference") -> TableState:
     """Deal the next street and reset the betting round
     (``gameplay.clj:94-102``): flop 3 / turn 1 / river 1 revealed, bets move
     onto the pots, remaining-players and play-order rebuild from ``:players``
     (all-in seats drop out of the order here)."""
     reveal = jnp.where(state.stage == 0, 3, 1)
+    actable = state.in_hand & ~state.all_in if rules == "standard" \
+        else state.in_hand
     return state._replace(
         n_community=state.n_community + reveal,
-        to_act=state.in_hand,
+        to_act=actable,
         pots=append_layers(state.pots, state.bets),
         bets=empty_layers(state.bets.capacity, state.num_seats),
-        order_mask=state.in_hand,
+        order_mask=actable,
         cursor=jnp.zeros((), I32),
         stage=state.stage + 1,
     )
@@ -207,23 +242,43 @@ def hand_values(state: TableState) -> jax.Array:
     return eval7_from_cards(cards)
 
 
-@jax.jit
-def settle_showdown(state: TableState) -> TableState:
+@partial(jax.jit, static_argnames=("rules",))
+def settle_showdown(state: TableState, rules: str = "reference") -> TableState:
     """End-of-hand pot resolution (``gameplay.clj:122-133``): flush street
-    bets into the pots, evaluate in-hand players, pay each pot layer to its
-    best eligible members (integer split; remainders vanish)."""
+    bets into the pots and pay each pot layer to its best eligible members.
+
+    Reference rules: eligibility = current members ∩ :players (all-in seats
+    were removed from both), payout ``amt * n`` with the inflated ``n``,
+    integer split, remainders vanish. Standard rules: eligibility =
+    contributors ∩ not-folded (all-in seats live), payout
+    ``amt * |contributors|`` (exactly the chips put in), odd chips to the
+    first-position winner — chips conserve exactly.
+    """
     pots = append_layers(state.pots, state.bets)
     values = hand_values(state).astype(jnp.uint32)
 
     PL = pots.capacity
     valid = (jnp.arange(PL) < pots.count)[:, None]
-    elig = pots.mem & state.in_hand[None, :] & valid  # [PL, P]
+    if rules == "standard":
+        live = state.in_hand  # not folded (all-in included)
+        elig = pots.orig & live[None, :] & valid
+        total_pot = pots.amt * jnp.sum(pots.orig & valid, axis=1)
+    else:
+        elig = pots.mem & state.in_hand[None, :] & valid  # [PL, P]
+        total_pot = pots.amt * pots.n
     vmax = jnp.max(jnp.where(elig, values[None, :], 0), axis=1)
     winners = elig & (values[None, :] == vmax[:, None])
     cnt = jnp.sum(winners, axis=1)
-    total_pot = pots.amt * pots.n
     share = jnp.where(cnt > 0, total_pot // jnp.maximum(cnt, 1), 0)
     payout = jnp.sum(jnp.where(winners, share[:, None], 0), axis=0)
+    if rules == "standard":
+        # Odd chips to the first-position winner of each layer.
+        rem = jnp.where(cnt > 0, total_pot % jnp.maximum(cnt, 1), 0)
+        first = jnp.argmax(winners, axis=1)  # [PL]
+        P = state.num_seats
+        first_onehot = (jnp.arange(P)[None, :] == first[:, None]) & (cnt > 0)[:, None]
+        payout = payout + jnp.sum(
+            jnp.where(first_onehot, rem[:, None], 0), axis=0)
 
     return state._replace(
         stacks=state.stacks + payout,
@@ -233,35 +288,46 @@ def settle_showdown(state: TableState) -> TableState:
     )
 
 
-@jax.jit
-def step_action(state: TableState, action) -> TableState:
+def _advance_streets(state: TableState, rules: str) -> TableState:
+    """Street transitions after an action. Reference: at most one
+    (board-action, board.clj:122-129). Standard: closed betting runs the
+    board out — when every live seat is all-in, streets chain to the river
+    in the same step (up to 4 masked transitions)."""
+    n = 4 if rules == "standard" else 1
+    for _ in range(n):
+        cond = stage_end(state) & ~game_end(state)
+        state = _select_tree(cond, stage_transition(state, rules), state)
+    return state
+
+
+@partial(jax.jit, static_argnames=("rules",))
+def step_action(state: TableState, action, rules: str = "reference"
+                ) -> TableState:
     """One action plus street bookkeeping, *without* paying the showdown
     (single-hand rollout form — settle once after the scan with
     ``settle_showdown``). No-op when the hand is already over.
 
     Mirrors ``board-action`` (``board.clj:122-129``): act, then either latch
-    game end or transition the street.
+    game end or transition the street(s).
     """
     _, _, exists = head_info(state)
-    acted = apply_action(state, action)
-    ended = game_end(acted)
-    transitioned = _select_tree(
-        stage_end(acted) & ~ended, stage_transition(acted), acted)
-    out = transitioned._replace(hand_over=transitioned.hand_over | ended)
+    acted = apply_action(state, action, rules=rules)
+    advanced = _advance_streets(acted, rules)
+    out = advanced._replace(hand_over=advanced.hand_over | game_end(advanced))
     return _select_tree(state.hand_over | ~exists, state, out)
 
 
-@jax.jit
-def step_table(state: TableState, action) -> TableState:
+@partial(jax.jit, static_argnames=("rules",))
+def step_table(state: TableState, action, rules: str = "reference"
+               ) -> TableState:
     """Full continuous-table step (the server / perpetual-game form,
     ``gameplay.clj:122-150``): on game end, settle the showdown and
     immediately deal the next hand — busted players and all."""
     _, _, exists = head_info(state)
-    acted = apply_action(state, action)
-    ended = game_end(acted)
-    settled = next_hand(settle_showdown(acted)._replace(
-        hand_over=jnp.zeros((), jnp.bool_)))
-    transitioned = _select_tree(
-        stage_end(acted) & ~ended, stage_transition(acted), acted)
-    out = _select_tree(ended, settled, transitioned)
+    acted = apply_action(state, action, rules=rules)
+    advanced = _advance_streets(acted, rules)
+    ended = game_end(advanced)
+    settled = next_hand(settle_showdown(advanced, rules=rules)._replace(
+        hand_over=jnp.zeros((), jnp.bool_)), rules=rules)
+    out = _select_tree(ended, settled, advanced)
     return _select_tree(~exists, state, out)

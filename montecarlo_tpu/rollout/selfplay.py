@@ -39,6 +39,7 @@ def play_one_hand(
     key: jax.Array,
     policy: Callable = random_policy,
     max_steps: int = 72,
+    rules: str = "reference",
 ) -> TableState:
     """Scan a single table-hand to completion and settle the showdown.
 
@@ -52,7 +53,7 @@ def play_one_hand(
         st, street_raises = carry
         action = clamp_action(st, policy(k, st, street_raises))
         prev_stage = st.stage
-        nxt = step_action(st, action)
+        nxt = step_action(st, action, rules=rules)
         applied_raise = (action > 0) & ~st.hand_over
         street_raises = jnp.where(
             nxt.stage != prev_stage, 0, street_raises + applied_raise)
@@ -61,7 +62,8 @@ def play_one_hand(
     keys = jax.random.split(key, max_steps)
     (state, _), _ = jax.lax.scan(body, (state, jnp.zeros((), I32)), keys)
     # The bound guarantees completion; the mask keeps semantics safe anyway.
-    return _select_tree(state.hand_over, settle_showdown(state), state)
+    return _select_tree(state.hand_over,
+                        settle_showdown(state, rules=rules), state)
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_hands", "max_steps", "policy"))
@@ -84,8 +86,9 @@ def play_hands(
 
         def hand_body(st, xs):
             i, hand_key = xs
-            st = _select_tree(i > 0, next_hand(st), st)
-            st = play_one_hand(st, hand_key, policy=policy, max_steps=steps)
+            st = _select_tree(i > 0, next_hand(st, rules=cfg.rules), st)
+            st = play_one_hand(st, hand_key, policy=policy, max_steps=steps,
+                               rules=cfg.rules)
             return st, None
 
         hand_keys = jax.random.split(jax.random.fold_in(key, 0x5E1F), num_hands)

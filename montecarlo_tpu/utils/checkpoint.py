@@ -33,7 +33,8 @@ def load_states(path: str) -> TableState:
 
     template = TableState(
         key=0, hand_idx=0, deck=0, hole=0, community=0, n_community=0,
-        stage=0, time=0, button=0, cursor=0, in_hand=0, folded=0,
+        stage=0, time=0, button=0, cursor=0, in_hand=0, all_in=0,
+        folded=0,
         order_mask=0, to_act=0, stacks=0,
         bets=empty_layers(1, 1), pots=empty_layers(1, 1),
         small_blind=0, big_blind=0, hand_over=0)

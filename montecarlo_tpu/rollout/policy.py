@@ -54,3 +54,39 @@ def random_policy(
         jnp.where((u < fold_prob + raise_prob) & can_raise, amt, I32(0)),
     )
     return action
+
+
+def seat_policies(policies):
+    """Combine per-position policies into one table policy (agent-vs-agent
+    evaluation: position j acts with ``policies[j]``).
+
+    Every branch is evaluated under vmap (they're cheap); the head
+    position's action is selected. Positions are hand-order (position 0 is
+    this hand's small blind); fix seat identities across hands by rotating
+    the list with the button at the host level if needed.
+    """
+
+    def policy(key, state, street_raises):
+        seat, _, _ = head_info(state)
+        actions = jnp.stack([
+            jnp.asarray(p(jax.random.fold_in(key, j), state, street_raises),
+                        I32)
+            for j, p in enumerate(policies)])
+        return jnp.sum(jnp.where(jnp.arange(len(policies)) == seat,
+                                 actions, 0))
+
+    return policy
+
+
+def always_call(key, state, street_raises):
+    """The calling station (useful as an evaluation baseline)."""
+    del key, state, street_raises
+    return I32(0)
+
+
+def tight_policy(key, state, street_raises, fold_prob: float = 0.5):
+    """Folds half the time it owes chips, otherwise calls."""
+    seat, _, _ = head_info(state)
+    owes = needed_bet(state.bets, seat) > 0
+    u = jax.random.uniform(key)
+    return jnp.where(owes & (u < fold_prob), I32(-1), I32(0))

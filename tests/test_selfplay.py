@@ -32,3 +32,27 @@ def test_selfplay_heads_up():
     keys = jax.random.split(jax.random.key(3), 32)
     final = play_hands(keys, cfg, num_hands=1)
     assert bool(jnp.all(final.hand_over))
+
+
+def test_seat_policies_agent_vs_agent():
+    # A calling station vs a tight folder, heads-up, standard rules: the
+    # caller should not lose chips to a strategy that folds half its hands
+    # preflop (folding surrenders the blind).
+    from functools import partial as _partial
+
+    from montecarlo_tpu.rollout.policy import (
+        always_call, seat_policies, tight_policy,
+    )
+
+    cfg = TableConfig(num_seats=2, rules="standard")
+    policy = seat_policies([always_call, tight_policy])
+    keys = jax.random.split(jax.random.key(17), 256)
+    final = play_hands(keys, cfg, num_hands=1, policy=policy)
+    assert bool(jnp.all(final.hand_over))
+    # Chip conservation per table under standard rules.
+    sums = np.asarray(final.stacks).sum(axis=1)
+    np.testing.assert_array_equal(sums, np.full_like(sums, 200))
+    # Position 0 (the caller, SB this hand) profits on average: the tight
+    # player folds ~half the time, surrendering the big blind.
+    mean0 = float(np.asarray(final.stacks)[:, 0].mean())
+    assert mean0 > 100.0, mean0

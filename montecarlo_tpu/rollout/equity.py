@@ -116,16 +116,28 @@ def _versus_counts(key, hero_masks, villain_masks, dead_sorted, batch: int):
 
 
 @partial(jax.jit, static_argnames=("batch", "n_chunks"))
-def _equity_vs_hand_device(key, hero, villain, batch: int, n_chunks: int):
-    dead = jnp.sort(jnp.concatenate([hero, villain]))
-    hero_masks = suit_masks_from_cards(hero)
-    villain_masks = suit_masks_from_cards(villain)
+def _equity_vs_hand_device(key, hero, villain, board, batch: int,
+                           n_chunks: int):
+    """``board``: [K] known community cards (K in {0, 3, 4} static); the
+    remaining 5-K are sampled from the live deck each rollout."""
+    K = board.shape[0]
+    dead = jnp.sort(jnp.concatenate([hero, villain, board]))
+    board_masks = suit_masks_from_cards(board) if K else [I32(0)] * 4
+    hero_masks = [m | b for m, b in
+                  zip(suit_masks_from_cards(hero), board_masks)]
+    villain_masks = [m | b for m, b in
+                     zip(suit_masks_from_cards(villain), board_masks)]
 
     def chunk(carry, i):
         w, t = carry
-        cw, ct = _versus_counts(
-            jax.random.fold_in(key, i), hero_masks, villain_masks, dead, batch)
-        return (w + cw, t + ct), None
+        k = jax.random.fold_in(key, i)
+        slots = sample_distinct(k, 52 - dead.shape[0], 5 - K, batch)
+        drawn = slots_to_cards(slots, dead)
+        bm = suit_masks_from_cards(drawn)
+        vh = eval_masks(*[m | h for m, h in zip(bm, hero_masks)])
+        vv = eval_masks(*[m | v for m, v in zip(bm, villain_masks)])
+        return (w + jnp.sum((vh > vv).astype(I32)),
+                t + jnp.sum((vh == vv).astype(I32))), None
 
     (w, t), _ = jax.lax.scan(
         chunk, (jnp.zeros((), I32), jnp.zeros((), I32)), jnp.arange(n_chunks))
@@ -143,16 +155,19 @@ def equity_vs_hand(
     hero: Sequence[int],
     villain: Sequence[int],
     n_rollouts: int,
+    board: Sequence[int] = (),
     batch_size: int = 1 << 20,
 ) -> EquityResult:
-    """Hero hole cards vs exact villain hole cards (BASELINE config 3).
+    """Hero hole cards vs exact villain hole cards (BASELINE config 3),
+    optionally on a known partial ``board`` (flop or flop+turn).
 
     ``n_rollouts`` is rounded up to a whole number of batches.
     """
     hero = jnp.asarray(hero, I32)
     villain = jnp.asarray(villain, I32)
+    board = jnp.asarray(board, I32).reshape(-1)
     batch, n_chunks = _chunking(n_rollouts, batch_size)
-    w, t = _equity_vs_hand_device(key, hero, villain, batch, n_chunks)
+    w, t = _equity_vs_hand_device(key, hero, villain, board, batch, n_chunks)
     n = batch * n_chunks
     w, t = int(w), int(t)
     return EquityResult(wins=w, ties=t, losses=n - w - t, n=n)
@@ -297,23 +312,32 @@ def equity_vs_range(
 
 
 def equity_exact(hero: Sequence[int], villain: Sequence[int],
+                 board: Sequence[int] = (),
                  chunk: int = 1 << 18) -> EquityResult:
-    """EXACT hand-vs-hand equity by enumerating all C(48,5) = 1,712,304
-    boards (no Monte Carlo error; ci95 width is zero).
+    """EXACT hand-vs-hand equity by enumerating every remaining board
+    completion — C(48,5) = 1,712,304 preflop, C(45,2) = 990 on a flop,
+    44 on a turn. No Monte Carlo error; ci95 width is zero.
 
-    The reference's naive evaluator would need ~10^9 sequence ops for this;
-    the bitmask evaluator sweeps it in a few device chunks.
+    The reference's naive evaluator would need ~10^9 sequence ops for the
+    preflop case; the bitmask evaluator sweeps it in a few device chunks.
     """
     import itertools
 
     hero = jnp.asarray(hero, I32)
     villain = jnp.asarray(villain, I32)
-    live = np.asarray(complement(jnp.concatenate([hero, villain])))
+    fixed = np.asarray(board, np.int32).reshape(-1)
+    K = fixed.shape[0]
+    live = np.asarray(complement(jnp.concatenate(
+        [hero, villain, jnp.asarray(fixed, I32)])))
+    n_live = live.shape[0]
     boards = np.fromiter(
         itertools.chain.from_iterable(
-            itertools.combinations(range(48), 5)),
-        dtype=np.int32).reshape(-1, 5)
+            itertools.combinations(range(n_live), 5 - K)),
+        dtype=np.int32).reshape(-1, 5 - K)
     boards = live[boards]  # slot -> card id
+    if K:
+        boards = np.concatenate(
+            [np.tile(fixed, (boards.shape[0], 1)), boards], axis=1)
     hm = suit_masks_from_cards(hero)
     vm = suit_masks_from_cards(villain)
 

@@ -148,3 +148,25 @@ def test_equity_vs_range():
     res2 = equity_vs_range(jax.random.key(14), hero, expand_range(["AA"]),
                            60_000)
     assert res2.n > 0
+
+
+def test_partial_board_equity():
+    from montecarlo_tpu.rollout.equity import equity_exact
+
+    hero = [make_card(H, 14), make_card(H, 13)]       # AhKh
+    villain = [make_card(D, 12), make_card(S, 12)]     # QQ
+    flop = [make_card(H, 12), make_card(H, 7), make_card(H, 2)]  # hero flush!
+    exact = equity_exact(hero, villain, board=flop)
+    assert exact.n == 990  # C(45, 2)
+    # Hero flopped the nut flush but villain flopped top set — a ~35%
+    # boat/quads redraw (7 turn outs + ~10 river outs): hero ~0.65.
+    assert 0.60 < exact.equity < 0.70, exact.equity
+    mc = equity_vs_hand(jax.random.key(21), hero, villain, 120_000,
+                        board=flop)
+    assert abs(mc.equity - exact.equity) < 0.01
+
+    turn = flop + [make_card(C, 12)]  # villain makes quads... sets up 44 rivers
+    exact_t = equity_exact(hero, villain, board=turn)
+    assert exact_t.n == 44
+    # Villain has quad queens: hero is drawing dead.
+    assert exact_t.equity == 0.0

@@ -56,3 +56,18 @@ def test_seat_policies_agent_vs_agent():
     # player folds ~half the time, surrendering the big blind.
     mean0 = float(np.asarray(final.stacks)[:, 0].mean())
     assert mean0 > 100.0, mean0
+
+
+def test_duplicate_match_detects_edges():
+    from montecarlo_tpu.rollout.evaluate import duplicate_match
+    from montecarlo_tpu.rollout.policy import always_call, random_policy, tight_policy
+
+    # Caller vs half-folder: folding surrenders blinds -> caller wins.
+    r = duplicate_match(jax.random.key(5), always_call, tight_policy,
+                        n_tables=1024)
+    assert r.bb_per_hand > 0.1, (r.bb_per_hand, r.stderr)
+
+    # Self-match is a statistical zero.
+    r0 = duplicate_match(jax.random.key(6), always_call, always_call,
+                         n_tables=1024)
+    assert abs(r0.bb_per_hand) < 6 * max(r0.stderr, 1e-9), r0

@@ -1,0 +1,77 @@
+"""Policy-network model family: features, net, REINFORCE training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlo_tpu.engine.state import TableConfig, init_state
+from montecarlo_tpu.models.features import NUM_FEATURES, state_features
+from montecarlo_tpu.models.policy_net import (
+    NUM_ACTIONS,
+    action_from_index,
+    init_params,
+    net_policy,
+    policy_logits,
+)
+from montecarlo_tpu.rollout.policy import always_call
+from montecarlo_tpu.rollout.selfplay import play_hands
+
+
+def test_features_shape_and_finite():
+    cfg = TableConfig(num_seats=3)
+    st = init_state(jax.random.key(0), cfg)
+    f = state_features(st)
+    assert f.shape == (NUM_FEATURES,)
+    assert bool(jnp.all(jnp.isfinite(f)))
+    # vmapped over a batch
+    keys = jax.random.split(jax.random.key(1), 8)
+    states = jax.vmap(lambda k: init_state(k, cfg))(keys)
+    fb = jax.vmap(state_features)(states)
+    assert fb.shape == (8, NUM_FEATURES)
+    assert bool(jnp.all(jnp.isfinite(fb)))
+
+
+def test_policy_net_forward_and_action_mapping():
+    params = init_params(jax.random.key(0))
+    cfg = TableConfig(num_seats=2)
+    st = init_state(jax.random.key(1), cfg)
+    logits = policy_logits(params, state_features(st))
+    assert logits.shape == (NUM_ACTIONS,)
+    acts = [int(action_from_index(jnp.asarray(i), st))
+            for i in range(NUM_ACTIONS)]
+    assert acts[0] == -1 and acts[1] == 0
+    assert acts[2] == 20 and acts[3] >= acts[2]  # 2bb, pot-size
+
+
+def test_net_policy_plays_full_hands():
+    params = init_params(jax.random.key(0))
+    cfg = TableConfig(num_seats=2, rules="standard")
+    keys = jax.random.split(jax.random.key(2), 64)
+    final = play_hands(keys, cfg, num_hands=1, policy=net_policy(params))
+    assert bool(jnp.all(final.hand_over))
+    sums = np.asarray(final.stacks).sum(axis=1)
+    np.testing.assert_array_equal(sums, np.full_like(sums, 200))
+
+
+@pytest.mark.slow
+def test_reinforce_improves_vs_calling_station():
+    from montecarlo_tpu.models.train import train_policy
+
+    cfg = TableConfig(num_seats=2, rules="standard")
+    out = train_policy(jax.random.key(3), cfg=cfg, opponent=always_call,
+                       tables=512, steps=60, lr=5e-3)
+    hist = np.asarray(out.mean_reward_bb)
+    assert np.all(np.isfinite(hist))
+    # Training signal: late-phase reward beats the early phase.
+    assert hist[-15:].mean() > hist[:15].mean() + 0.05, (
+        hist[:15].mean(), hist[-15:].mean())
+
+
+def test_reinforce_one_step_runs():
+    from montecarlo_tpu.models.train import train_policy
+
+    cfg = TableConfig(num_seats=2, rules="standard")
+    out = train_policy(jax.random.key(4), cfg=cfg, opponent=always_call,
+                       tables=64, steps=2, lr=1e-3, max_steps=24)
+    assert np.isfinite(np.asarray(out.mean_reward_bb)).all()

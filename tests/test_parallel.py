@@ -62,3 +62,23 @@ def test_graft_entry_dryrun():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert int(out.time.sum()) > 0
+
+
+def test_dp_train_step_on_mesh():
+    from montecarlo_tpu.models.policy_net import init_params
+    from montecarlo_tpu.parallel.train_dp import make_dp_train_step
+
+    mesh = make_mesh()
+    cfg = TableConfig(num_seats=2, rules="standard",
+                      max_layers=8, max_pot_layers=16)
+    params = init_params(jax.random.key(0))
+    opt_init, step = make_dp_train_step(mesh, cfg, tables_per_device=16,
+                                        max_steps=24)
+    opt_state = opt_init(params)
+    p1, opt_state, r1 = step(params, opt_state, jax.random.key(1))
+    p2, _, r2 = step(p1, opt_state, jax.random.key(2))
+    assert bool(jnp.isfinite(r1)) and bool(jnp.isfinite(r2))
+    # Params actually moved.
+    delta = sum(float(jnp.abs(a - b).sum())
+                for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)))
+    assert delta > 0

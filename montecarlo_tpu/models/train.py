@@ -83,25 +83,20 @@ class TrainResult(NamedTuple):
     mean_reward_bb: jax.Array  # [steps] learner bb/hand per update
 
 
-@partial(jax.jit,
-         static_argnames=("cfg", "opponent", "tables", "steps", "max_steps"))
-def train_policy(
-    key,
-    cfg: TableConfig = TableConfig(num_seats=2, rules="standard"),
+def make_update_step(
+    cfg: TableConfig,
     opponent: Callable = random_policy,
     tables: int = 2048,
-    steps: int = 100,
     lr: float = 3e-3,
     max_steps: int = 48,
-) -> TrainResult:
-    """REINFORCE loop: at each update the learner plays ``tables`` fresh
-    hands against ``opponent`` (alternating blinds across the batch) and
-    ascends the advantage-weighted log-likelihood."""
+):
+    """(opt_init, update) where ``update(params, opt_state, key)`` plays
+    ``tables`` fresh hands and applies one advantage-normalized REINFORCE
+    step. One jitted program per update — scanning many updates into a
+    single XLA program was measured to destabilize the TPU worker."""
     import optax
 
-    params = init_params(key)
     opt = optax.adam(lr)
-    opt_state = opt.init(params)
     bb = float(cfg.big_blind)
 
     def loss_fn(params, step_key):
@@ -119,14 +114,37 @@ def train_policy(
             jnp.std(rewards_bb) + 1e-6)
         return -jnp.mean(adv * lps), jnp.mean(rewards_bb)
 
-    def update(carry, i):
-        params, opt_state = carry
+    @jax.jit
+    def update(params, opt_state, key):
         (_, mean_r), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, jax.random.fold_in(key, 1000 + i))
+            params, key)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state), mean_r
+        return params, opt_state, mean_r
 
-    (params, _), history = jax.lax.scan(
-        update, (params, opt_state), jnp.arange(steps))
-    return TrainResult(params=params, mean_reward_bb=history)
+    return opt.init, update
+
+
+def train_policy(
+    key,
+    cfg: TableConfig = TableConfig(num_seats=2, rules="standard"),
+    opponent: Callable = random_policy,
+    tables: int = 2048,
+    steps: int = 100,
+    lr: float = 3e-3,
+    max_steps: int = 48,
+) -> TrainResult:
+    """REINFORCE loop: at each update the learner plays ``tables`` fresh
+    hands against ``opponent`` (alternating blinds across the batch) and
+    ascends the advantage-weighted log-likelihood. Host-level loop over
+    jitted updates (the executable is compiled once)."""
+    params = init_params(key)
+    opt_init, update = make_update_step(cfg, opponent, tables, lr, max_steps)
+    opt_state = opt_init(params)
+    history = []
+    for i in range(steps):
+        params, opt_state, mean_r = update(
+            params, opt_state, jax.random.fold_in(key, 1000 + i))
+        history.append(mean_r)
+    return TrainResult(params=params,
+                       mean_reward_bb=jnp.stack(history))

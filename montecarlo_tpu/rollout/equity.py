@@ -211,6 +211,55 @@ def equity_vs_random(
     return EquityResult(wins=w, ties=t, losses=n - w - t, n=n)
 
 
+@partial(jax.jit, static_argnames=("batch", "n_chunks"))
+def _equity_multiway_device(key, hands, board, batch: int, n_chunks: int):
+    """``hands``: [N, 2] hole cards; returns per-hand equity sums [N] f32
+    (ties split fractionally) over batch * n_chunks sampled boards."""
+    N = hands.shape[0]
+    K = board.shape[0]
+    dead = jnp.sort(jnp.concatenate([hands.reshape(-1), board]))
+    board_masks = (suit_masks_from_cards(board) if K
+                   else [jnp.zeros((), I32)] * 4)
+    hm = suit_masks_from_cards(hands)  # each [N]
+
+    def chunk(carry, i):
+        eq = carry
+        k = jax.random.fold_in(key, i)
+        slots = sample_distinct(k, 52 - dead.shape[0], 5 - K, batch)
+        drawn = slots_to_cards(slots, dead)
+        bm = suit_masks_from_cards(drawn)  # each [batch]
+        values = eval_masks(
+            *[b[:, None] | h[None, :] | fb
+              for b, h, fb in zip(bm, hm, board_masks)])  # [batch, N]
+        vmax = jnp.max(values, axis=1, keepdims=True)
+        winners = values == vmax
+        cnt = jnp.sum(winners, axis=1, keepdims=True)
+        share = winners.astype(jnp.float32) / cnt.astype(jnp.float32)
+        return eq + jnp.sum(share, axis=0), None
+
+    eq, _ = jax.lax.scan(chunk, jnp.zeros((N,), jnp.float32),
+                         jnp.arange(n_chunks))
+    return eq
+
+
+def equity_multiway(
+    key,
+    hands,
+    n_rollouts: int,
+    board: Sequence[int] = (),
+    batch_size: int = 1 << 19,
+) -> Tuple[np.ndarray, int]:
+    """Equity of N specified hands against each other (ties split
+    fractionally), optionally on a partial board. Returns (equity[N], n).
+    """
+    hands = jnp.asarray(hands, I32).reshape(-1, 2)
+    board = jnp.asarray(board, I32).reshape(-1)
+    batch, n_chunks = _chunking(n_rollouts, batch_size)
+    eq = _equity_multiway_device(key, hands, board, batch, n_chunks)
+    n = batch * n_chunks
+    return np.asarray(eq, np.float64) / n, n
+
+
 def expand_range(labels: Sequence[str]) -> np.ndarray:
     """Expand canonical hand labels ('AA', 'AKs', 'T9o', ...) to all combos.
 

@@ -21,5 +21,9 @@ import jax  # noqa: E402
 # overrides JAX_PLATFORMS; an explicit config update wins over both.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compile cache: repeat suite runs skip recompilation.
+os.makedirs("/root/.jax_cache_cpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert len(jax.devices()) == 8, jax.devices()

@@ -170,3 +170,24 @@ def test_partial_board_equity():
     assert exact_t.n == 44
     # Villain has quad queens: hero is drawing dead.
     assert exact_t.equity == 0.0
+
+
+def test_equity_multiway():
+    from montecarlo_tpu.rollout.equity import equity_multiway
+
+    hands = [
+        [make_card(H, 14), make_card(D, 14)],   # AA
+        [make_card(S, 13), make_card(C, 13)],   # KK
+        [make_card(H, 7), make_card(D, 6)],     # 76o
+    ]
+    eq, n = equity_multiway(jax.random.key(31), hands, 150_000)
+    assert abs(float(eq.sum()) - 1.0) < 1e-6  # equities partition the pot
+    assert eq[0] > eq[1] > 0.15               # AA > KK
+    assert eq[2] < 0.30                       # junk worst... but live cards
+    # Textbook 3-way AA/KK/76o roughly 0.58/0.24/0.18.
+    assert 0.5 < eq[0] < 0.68, eq
+
+    # Two-hand multiway must agree with equity_vs_hand.
+    two = equity_multiway(jax.random.key(32), hands[:2], 150_000)[0]
+    pair = equity_vs_hand(jax.random.key(33), hands[0], hands[1], 150_000)
+    assert abs(float(two[0]) - pair.equity) < 0.01

@@ -7,10 +7,13 @@ layers. The list is variable-length and mutated by ordered splits/inserts
 (``update-bets`` ``bet.clj:45-59``) and adjacency-sensitive coalescing
 (``merge-bets`` ``bet.clj:10-27``).
 
-Here a street is a fixed-size layer matrix (player sets as boolean rows) and
-both operations are O(L) vectorized array programs — no data-dependent
-shapes, so the whole thing vmaps over a tables axis and compiles into one
-XLA program.
+Here a street is a fixed-size layer array with player sets packed as int32
+**seat bitmasks** (one scalar per layer, like the native C++ engine), so
+set union/removal/equality are single integer ops and both algebra
+operations are O(L) scalar-array programs — no data-dependent shapes, no
+[L, P] matrices on the hot path. The whole thing vmaps over a tables axis
+and compiles into one XLA program; per-seat boolean views are expanded only
+at showdown settlement and in host projections.
 
 Bit-exactly preserved reference quirks:
 
@@ -35,18 +38,21 @@ import jax.numpy as jnp
 
 I32 = jnp.int32
 
+MAX_SEATS = 23  # bitmask seats must fit an int32 without the sign bit
+
 
 class Layers(NamedTuple):
     """A fixed-capacity ordered list of bet layers (one street or the pots).
 
-    Shapes: ``amt``/``n`` are ``[L]``, ``mem``/``orig`` are ``[L, P]`` boolean
-    membership matrices, ``count`` is the number of live layers, ``overflow``
-    latches if capacity was ever exceeded (a dropped layer — raise L).
+    ``amt``/``n`` are i32[L]; ``mem``/``orig`` are i32[L] **seat bitmasks**
+    (bit s = seat s belongs); ``count`` is the number of live layers;
+    ``overflow`` latches if capacity was ever exceeded (a dropped layer —
+    raise L).
     """
 
     amt: jax.Array   # i32[L] chips per member in this layer
-    mem: jax.Array   # bool[L, P] current members (:players)
-    orig: jax.Array  # bool[L, P] original members (never shrunk by folds)
+    mem: jax.Array   # i32[L] current member bitmask (:players)
+    orig: jax.Array  # i32[L] original member bitmask (never shrunk by folds)
     n: jax.Array     # i32[L] contribution counter (reference :n)
     count: jax.Array  # i32[] number of live layers
     overflow: jax.Array  # bool[] capacity exceeded at some point
@@ -55,20 +61,26 @@ class Layers(NamedTuple):
     def capacity(self) -> int:
         return self.amt.shape[0]
 
-    @property
-    def num_seats(self) -> int:
-        return self.mem.shape[1]
-
 
 def empty_layers(max_layers: int, num_seats: int) -> Layers:
+    assert num_seats <= MAX_SEATS
     return Layers(
         amt=jnp.zeros((max_layers,), I32),
-        mem=jnp.zeros((max_layers, num_seats), jnp.bool_),
-        orig=jnp.zeros((max_layers, num_seats), jnp.bool_),
+        mem=jnp.zeros((max_layers,), I32),
+        orig=jnp.zeros((max_layers,), I32),
         n=jnp.zeros((max_layers,), I32),
         count=jnp.zeros((), I32),
         overflow=jnp.zeros((), jnp.bool_),
     )
+
+
+def member_matrix(masks, num_seats: int) -> jax.Array:
+    """i32[L] bitmasks -> bool[L, P] membership matrix (settle/projection)."""
+    return ((masks[:, None] >> jnp.arange(num_seats)[None, :]) & 1) != 0
+
+
+def _seat_bit(seat) -> jax.Array:
+    return jnp.left_shift(I32(1), seat)
 
 
 def _valid(layers: Layers) -> jax.Array:
@@ -83,14 +95,8 @@ def total_bet(layers: Layers) -> jax.Array:
 
 @jax.jit
 def needed_bet(layers: Layers, seat) -> jax.Array:
-    """Sum of layers the seat is not yet a member of (``helpers.clj:21-27``).
-
-    Gather-free: the seat column is selected arithmetically (dynamic gathers
-    inside vmapped scans lower poorly on TPU).
-    """
-    seat_col = jnp.arange(layers.num_seats) == seat
-    mem_seat = jnp.any(layers.mem & seat_col[None, :], axis=1)
-    unmet = _valid(layers) & ~mem_seat
+    """Sum of layers the seat is not yet a member of (``helpers.clj:21-27``)."""
+    unmet = _valid(layers) & ((layers.mem & _seat_bit(seat)) == 0)
     return jnp.sum(jnp.where(unmet, layers.amt, 0))
 
 
@@ -103,8 +109,7 @@ def _added(layers: Layers, seat, row_mask) -> Layers:
     """Add `seat` to membership of rows in row_mask (call-bet semantics:
     players/orig conj + n increment — increments n even when already a
     member, the reference's n-inflation quirk)."""
-    seat_col = jnp.arange(layers.num_seats) == seat
-    grow = row_mask[:, None] & seat_col[None, :]
+    grow = jnp.where(row_mask, _seat_bit(seat), 0)
     return layers._replace(
         mem=layers.mem | grow,
         orig=layers.orig | grow,
@@ -144,15 +149,15 @@ def update_bets(layers: Layers, bet_amt, seat) -> Layers:
     # roll-by-one selected by position — no dynamic gather.
     x = bet_amt - (prefix_at - amt_at)
     keep = idx <= i_star
-    g_amt = jnp.where(keep, layers.amt, jnp.roll(layers.amt, 1, axis=0))
-    g_mem = jnp.where(keep[:, None], layers.mem,
-                      jnp.roll(layers.mem, 1, axis=0))
-    g_orig = jnp.where(keep[:, None], layers.orig,
-                       jnp.roll(layers.orig, 1, axis=0))
-    g_n = jnp.where(keep, layers.n, jnp.roll(layers.n, 1, axis=0))
+
+    def shifted(a):
+        return jnp.where(keep, a, jnp.roll(a, 1, axis=0))
+
     sp_amt = jnp.where(idx == i_star, x,
-                       jnp.where(idx == i_star + 1, amt_at - x, g_amt))
-    sp = layers._replace(amt=sp_amt, mem=g_mem, orig=g_orig, n=g_n)
+                       jnp.where(idx == i_star + 1, amt_at - x,
+                                 shifted(layers.amt)))
+    sp = layers._replace(amt=sp_amt, mem=shifted(layers.mem),
+                         orig=shifted(layers.orig), n=shifted(layers.n))
     sp = _added(sp, seat, idx <= i_star)
     sp = sp._replace(
         count=jnp.minimum(layers.count + 1, L),
@@ -162,12 +167,12 @@ def update_bets(layers: Layers, bet_amt, seat) -> Layers:
     # Case: bet exceeds all standing layers -> join everything, append the
     # excess as a fresh single-seat layer.
     ap = _added(layers, seat, valid)
-    seat_col = jnp.arange(layers.num_seats) == seat
     at_end = idx == layers.count
+    bit_at_end = jnp.where(at_end, _seat_bit(seat), 0)
     ap = ap._replace(
         amt=jnp.where(at_end, bet_amt - total, ap.amt),
-        mem=ap.mem | (at_end[:, None] & seat_col[None, :]),
-        orig=ap.orig | (at_end[:, None] & seat_col[None, :]),
+        mem=ap.mem | bit_at_end,
+        orig=ap.orig | bit_at_end,
         n=jnp.where(at_end, 1, ap.n),
         count=jnp.minimum(layers.count + 1, L),
         overflow=layers.overflow | (layers.count >= L),
@@ -190,8 +195,8 @@ def merge_bets(layers: Layers) -> Layers:
     idx = jnp.arange(L)
     valid = _valid(layers)
 
-    same_mem = jnp.all(layers.mem == jnp.roll(layers.mem, 1, axis=0), axis=1)
-    same_orig = jnp.all(layers.orig == jnp.roll(layers.orig, 1, axis=0), axis=1)
+    same_mem = layers.mem == jnp.roll(layers.mem, 1)
+    same_orig = layers.orig == jnp.roll(layers.orig, 1)
     same_prev = valid & jnp.roll(valid, 1) & same_mem & same_orig & (idx > 0)
     new_group = valid & ~same_prev
     gid = jnp.cumsum(new_group.astype(I32)) - 1  # group id per valid layer
@@ -199,21 +204,19 @@ def merge_bets(layers: Layers) -> Layers:
 
     sel = (gid[None, :] == idx[:, None]) & valid[None, :]  # [group, layer]
     out_amt = jnp.sum(jnp.where(sel, layers.amt[None, :], 0), axis=1)
-    # Member sets are equal within a group: OR-reduce through the selection
-    # matrix instead of gathering the first row. The merged n is the LAST
-    # group member's (bet.clj:20-23): mask to rows not followed by a
-    # same-group row.
-    out_mem = jnp.any(sel[:, :, None] & layers.mem[None, :, :], axis=1)
-    out_orig = jnp.any(sel[:, :, None] & layers.orig[None, :, :], axis=1)
+    # Each group contributes exactly one "last" row; sets are equal within a
+    # group and the merged n is the LAST member's (bet.clj:20-23).
     is_last = valid & ~jnp.concatenate(
         [same_prev[1:], jnp.zeros((1,), jnp.bool_)])
-    out_n = jnp.sum(jnp.where(sel & is_last[None, :], layers.n[None, :], 0),
-                    axis=1)
+    pick_last = sel & is_last[None, :]
+    out_mem = jnp.sum(jnp.where(pick_last, layers.mem[None, :], 0), axis=1)
+    out_orig = jnp.sum(jnp.where(pick_last, layers.orig[None, :], 0), axis=1)
+    out_n = jnp.sum(jnp.where(pick_last, layers.n[None, :], 0), axis=1)
     out_valid = idx < n_groups
     return layers._replace(
         amt=jnp.where(out_valid, out_amt, 0),
-        mem=out_mem & out_valid[:, None],
-        orig=out_orig & out_valid[:, None],
+        mem=jnp.where(out_valid, out_mem, 0),
+        orig=jnp.where(out_valid, out_orig, 0),
         n=jnp.where(out_valid, out_n, 0),
         count=n_groups,
     )
@@ -223,5 +226,4 @@ def merge_bets(layers: Layers) -> Layers:
 def remove_player(layers: Layers, seat) -> Layers:
     """Fold semantics (``board.clj:37-41``): drop the seat from every layer's
     members (never from original-players); callers then ``merge_bets``."""
-    seat_col = jnp.arange(layers.num_seats) == seat
-    return layers._replace(mem=layers.mem & ~seat_col[None, :])
+    return layers._replace(mem=layers.mem & ~_seat_bit(seat))

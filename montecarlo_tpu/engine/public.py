@@ -48,13 +48,17 @@ def _pos_ids(mask, ids_pos: Sequence[str]) -> List[str]:
     return [ids_pos[j] for j in range(len(ids_pos)) if mask[j]]
 
 
+def _bitmask_ids(mask: int, ids_pos: Sequence[str]) -> List[str]:
+    return [ids_pos[j] for j in range(len(ids_pos)) if (int(mask) >> j) & 1]
+
+
 def _layers_json(layers, ids_pos: Sequence[str]) -> List[Dict]:
     out = []
     for i in range(int(layers.count)):
         out.append({
             "bet": int(layers.amt[i]),
-            "players": _pos_ids(np.asarray(layers.mem[i]), ids_pos),
-            "original-players": _pos_ids(np.asarray(layers.orig[i]), ids_pos),
+            "players": _bitmask_ids(layers.mem[i], ids_pos),
+            "original-players": _bitmask_ids(layers.orig[i], ids_pos),
             "n": int(layers.n[i]),
         })
     return out

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from montecarlo_tpu.engine.bets import (
     Layers,
     empty_layers,
+    member_matrix,
     merge_bets,
     needed_bet,
     remove_player,
@@ -188,10 +189,11 @@ def game_end(state: TableState) -> jax.Array:
 
 
 def append_layers(dst: Layers, src: Layers) -> Layers:
-    """``(concat pots bets)`` on fixed-shape layer matrices.
+    """``(concat pots bets)`` on fixed-shape layer arrays.
 
     Gather-free: the shifted copy goes through a [PL, L] placement matrix
-    (tiny boolean einsum) instead of a dynamic gather.
+    (tiny boolean einsum) instead of a dynamic gather; all four per-layer
+    fields are scalar columns (members are seat bitmasks).
     """
     PL, L = dst.capacity, src.capacity
     idx = jnp.arange(PL)
@@ -200,15 +202,15 @@ def append_layers(dst: Layers, src: Layers) -> Layers:
     place = (idx[:, None] == src_idx[None, :] + dst.count) \
         & (src_idx[None, :] < src.count)
     take = jnp.any(place, axis=1)
-    p_amt = jnp.sum(jnp.where(place, src.amt[None, :], 0), axis=1)
-    p_mem = jnp.any(place[:, :, None] & src.mem[None, :, :], axis=1)
-    p_orig = jnp.any(place[:, :, None] & src.orig[None, :, :], axis=1)
-    p_n = jnp.sum(jnp.where(place, src.n[None, :], 0), axis=1)
+
+    def placed(col):
+        return jnp.sum(jnp.where(place, col[None, :], 0), axis=1)
+
     return Layers(
-        amt=jnp.where(take, p_amt, dst.amt),
-        mem=jnp.where(take[:, None], p_mem, dst.mem),
-        orig=jnp.where(take[:, None], p_orig, dst.orig),
-        n=jnp.where(take, p_n, dst.n),
+        amt=jnp.where(take, placed(src.amt), dst.amt),
+        mem=jnp.where(take, placed(src.mem), dst.mem),
+        orig=jnp.where(take, placed(src.orig), dst.orig),
+        n=jnp.where(take, placed(src.n), dst.n),
         count=jnp.minimum(dst.count + src.count, PL),
         overflow=dst.overflow | src.overflow
         | (dst.count + src.count > PL),
@@ -258,13 +260,16 @@ def settle_showdown(state: TableState, rules: str = "reference") -> TableState:
     values = hand_values(state).astype(jnp.uint32)
 
     PL = pots.capacity
+    P = state.num_seats
     valid = (jnp.arange(PL) < pots.count)[:, None]
     if rules == "standard":
         live = state.in_hand  # not folded (all-in included)
-        elig = pots.orig & live[None, :] & valid
-        total_pot = pots.amt * jnp.sum(pots.orig & valid, axis=1)
+        orig_m = member_matrix(pots.orig, P)
+        elig = orig_m & live[None, :] & valid
+        total_pot = pots.amt * jnp.where(
+            valid[:, 0], jax.lax.population_count(pots.orig), 0)
     else:
-        elig = pots.mem & state.in_hand[None, :] & valid  # [PL, P]
+        elig = member_matrix(pots.mem, P) & state.in_hand[None, :] & valid
         total_pot = pots.amt * pots.n
     vmax = jnp.max(jnp.where(elig, values[None, :], 0), axis=1)
     winners = elig & (values[None, :] == vmax[:, None])

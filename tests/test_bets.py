@@ -23,23 +23,22 @@ L, P = 8, 4  # capacity, seats (seats are 0-indexed; tests use 0,1,2 for p1,p2,p
 
 
 def mk(layers_spec):
-    """Build Layers from [(amt, members, orig, n), ...]."""
-    ls = empty_layers(L, P)
-    amt = ls.amt.tolist()
-    mem = [[False] * P for _ in range(L)]
-    orig = [[False] * P for _ in range(L)]
-    n = ls.n.tolist()
+    """Build Layers from [(amt, members, orig, n), ...] (bitmask sets)."""
+    amt = [0] * L
+    mem = [0] * L
+    orig = [0] * L
+    n = [0] * L
     for i, (a, m, o, k) in enumerate(layers_spec):
         amt[i] = a
         for s in m:
-            mem[i][s] = True
+            mem[i] |= 1 << s
         for s in o:
-            orig[i][s] = True
+            orig[i] |= 1 << s
         n[i] = k
     return Layers(
         amt=jnp.array(amt, jnp.int32),
-        mem=jnp.array(mem, jnp.bool_),
-        orig=jnp.array(orig, jnp.bool_),
+        mem=jnp.array(mem, jnp.int32),
+        orig=jnp.array(orig, jnp.int32),
         n=jnp.array(n, jnp.int32),
         count=jnp.array(len(layers_spec), jnp.int32),
         overflow=jnp.zeros((), jnp.bool_),
@@ -48,15 +47,9 @@ def mk(layers_spec):
 
 def spec(layers):
     """Layers -> [(amt, members, orig, n), ...] python view."""
-    out = []
-    for i in range(int(layers.count)):
-        out.append((
-            int(layers.amt[i]),
-            frozenset(j for j in range(P) if bool(layers.mem[i, j])),
-            frozenset(j for j in range(P) if bool(layers.orig[i, j])),
-            int(layers.n[i]),
-        ))
-    return out
+    from tests.util import layers_spec as _ls
+
+    return _ls(layers, P)
 
 
 def fs(*xs):

@@ -142,10 +142,10 @@ def apply_action(state: TableState, action, rules: str = "reference"
         paid = jnp.where(threads, jnp.where(is_raise, delta + r, delta), 0)
 
     threaded = update_bets(bets, amount, seat)
-    after_fold = merge_bets(remove_player(bets, seat))
-    after_check = merge_bets(bets)
-    new_bets = _select_tree(
-        is_fold, after_fold, _select_tree(is_check, after_check, threaded))
+    # Fold and check both end in merge-bets (fold after member removal,
+    # board.clj:37-41 / :67-71): select the input first, merge once.
+    merged = merge_bets(_select_tree(is_fold, remove_player(bets, seat), bets))
+    new_bets = _select_tree(is_fold | is_check, merged, threaded)
 
     went_all_in = threads & (paid == stack)
     if rules == "standard":

@@ -22,7 +22,7 @@ from montecarlo_tpu.rollout.selfplay import play_hands  # noqa: E402
 
 
 def main():
-    cfg = TableConfig(num_seats=6, max_layers=16, max_pot_layers=48)
+    cfg = TableConfig(num_seats=6)  # default L=12/PL=24; overflow flags monitored
     n = 1 << 20
     keys = jax.random.split(jax.random.key(1), n)
     final = play_hands(keys, cfg, num_hands=1)

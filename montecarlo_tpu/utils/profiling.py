@@ -43,8 +43,9 @@ def ci_width_at_wallclock(
 
     hero = jnp.asarray(hero, jnp.int32)
     villain = jnp.asarray(villain, jnp.int32)
+    board = jnp.zeros((0,), jnp.int32)
     # Warm/compile outside the budget.
-    w, t = _equity_vs_hand_device(key, hero, villain, batch_size, chunk)
+    w, t = _equity_vs_hand_device(key, hero, villain, board, batch_size, chunk)
     _ = int(w) + int(t)
 
     wins = ties = n = 0
@@ -52,7 +53,8 @@ def ci_width_at_wallclock(
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < seconds:
         w, t = _equity_vs_hand_device(
-            jax.random.fold_in(key, 1000 + i), hero, villain, batch_size, chunk)
+            jax.random.fold_in(key, 1000 + i), hero, villain, board,
+            batch_size, chunk)
         wins += int(w)
         ties += int(t)
         n += batch_size * chunk

@@ -37,3 +37,17 @@ def test_checkpoint_roundtrip(tmp_path):
     nxt_a = jax.vmap(next_hand)(out_a)
     nxt_b = jax.vmap(next_hand)(out_b)
     np.testing.assert_array_equal(np.asarray(nxt_a.hole), np.asarray(nxt_b.hole))
+
+
+def test_ci_width_meter():
+    from montecarlo_tpu.cards import make_card
+    from montecarlo_tpu.utils.profiling import ci_width_at_wallclock
+
+    res, elapsed = ci_width_at_wallclock(
+        jax.random.key(0),
+        [make_card(0, 14), make_card(0, 13)],
+        [make_card(1, 12), make_card(2, 12)],
+        seconds=0.5, batch_size=1 << 14, chunk=4)
+    lo, hi = res.ci95
+    assert res.n > 0 and lo < res.equity < hi
+    assert 0.40 < res.equity < 0.52  # loose: tiny n on CPU

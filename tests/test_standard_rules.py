@@ -9,6 +9,7 @@ board runouts when betting closes, odd-chip awards.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from montecarlo_tpu.cards import make_card
 from montecarlo_tpu.engine import (
@@ -129,3 +130,42 @@ def test_standard_selfplay_conserves_chips():
     np.testing.assert_array_equal(sums, np.full_like(sums, 600))
     assert not bool(jnp.any(final.bets.overflow))
     assert not bool(jnp.any(final.pots.overflow))
+
+
+def _chips_in_layers(layers):
+    total = 0
+    for i in range(int(layers.count)):
+        total += int(layers.amt[i]) * bin(int(layers.orig[i])).count("1")
+    return total
+
+
+@pytest.mark.parametrize("n_seats,seed", [(2, 41), (3, 42), (4, 43), (6, 44)])
+def test_stepwise_chip_conservation(n_seats, seed):
+    # Standard rules: stacks + chips-in-layers is invariant after EVERY
+    # action, not just at settlement.
+    import random as _random
+
+    import pytest as _pytest
+
+    rng = _random.Random(seed)
+    cfg = TableConfig(num_seats=n_seats, rules=RULES, max_layers=16,
+                      max_pot_layers=48)
+    st = init_state(jax.random.key(seed), cfg)
+    total0 = 100 * n_seats
+
+    def invariant(st):
+        return (int(np.asarray(st.stacks).sum())
+                + _chips_in_layers(st.bets) + _chips_in_layers(st.pots))
+
+    assert invariant(st) == total0
+    for step in range(200):
+        if bool(st.hand_over):
+            break
+        u = rng.random()
+        a = -1 if u < 0.2 else (0 if u < 0.7 else rng.randint(1, 40))
+        st = act(st, a)
+        assert invariant(st) == total0, f"step {step}"
+    else:
+        _pytest.fail("no termination")
+    st = settle_showdown(st, rules=RULES)
+    assert int(np.asarray(st.stacks).sum()) == total0

@@ -77,3 +77,20 @@ def test_native_custom_stacks_all_in_side_pot():
     t.settle()
     g.settle()
     assert t.snapshot()["stacks"] == g.stacks
+
+
+def test_native_vs_jnp_evaluator_1M_hands():
+    # Large-sample cross-certification of the two fast evaluators (the
+    # oracle pins them both on smaller samples + golden vectors).
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.ops.evaluator import eval7_from_cards
+
+    rng = np.random.default_rng(2024)
+    hands = np.empty((1_000_000, 7), dtype=np.int32)
+    for i in range(0, hands.shape[0], 100_000):
+        block = np.argsort(rng.random((100_000, 52)), axis=1)[:, :7]
+        hands[i:i + 100_000] = block
+    got_native = native.eval7_batch(hands)
+    got_jnp = np.asarray(eval7_from_cards(jnp.asarray(hands)))
+    np.testing.assert_array_equal(got_native, got_jnp)

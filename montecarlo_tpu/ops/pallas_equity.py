@@ -84,22 +84,24 @@ def _sample_board_masks(dead, shape):
     return _masks_of(_sample_cards(dead, shape, 5), shape)
 
 
-def _equity_kernel(seed_ref, dead_ref, hmask_ref, vmask_ref,
-                   wins_ref, ties_ref):
-    i = pl.program_id(0)
+def _make_equity_kernel(n_dead: int, n_draw: int):
+    def kernel(seed_ref, dead_ref, hmask_ref, vmask_ref, wins_ref, ties_ref):
+        i = pl.program_id(0)
 
-    @pl.when(i == 0)
-    def _():
-        wins_ref[0, 0] = I32(0)
-        ties_ref[0, 0] = I32(0)
+        @pl.when(i == 0)
+        def _():
+            wins_ref[0, 0] = I32(0)
+            ties_ref[0, 0] = I32(0)
 
-    pltpu.prng_seed(seed_ref[0] + i)
-    dead = [dead_ref[j] for j in range(4)]
-    bm = _sample_board_masks(dead, TILE)
-    vh = eval_masks_impl(*[m | hmask_ref[s] for s, m in enumerate(bm)])
-    vv = eval_masks_impl(*[m | vmask_ref[s] for s, m in enumerate(bm)])
-    wins_ref[0, 0] += jnp.sum((vh > vv).astype(I32))
-    ties_ref[0, 0] += jnp.sum((vh == vv).astype(I32))
+        pltpu.prng_seed(seed_ref[0] + i)
+        dead = [dead_ref[j] for j in range(n_dead)]
+        bm = _masks_of(_sample_cards(dead, TILE, n_draw), TILE)
+        vh = eval_masks_impl(*[m | hmask_ref[s] for s, m in enumerate(bm)])
+        vv = eval_masks_impl(*[m | vmask_ref[s] for s, m in enumerate(bm)])
+        wins_ref[0, 0] += jnp.sum((vh > vv).astype(I32))
+        ties_ref[0, 0] += jnp.sum((vh == vv).astype(I32))
+
+    return kernel
 
 
 @partial(jax.jit, static_argnames=("n_programs", "interpret"))
@@ -107,16 +109,19 @@ def equity_counts_pallas(seed, dead, hero_masks, villain_masks,
                          n_programs: int, interpret: bool = False):
     """(wins, ties) over ``n_programs * TILE_N`` rollouts.
 
-    ``seed``: int32 scalar; ``dead``: int32[4] ascending dead cards;
-    ``*_masks``: int32[4] suit masks of the fixed hole cards.
+    ``seed``: int32 scalar; ``dead``: int32[D] ascending dead cards (hole
+    cards + any known board, whose suit masks must already be OR-ed into
+    ``*_masks``); ``*_masks``: int32[4] per side. Draws ``5 - (D - 4)``
+    board cards per rollout.
     """
-    smem = lambda n: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    n_dead = dead.shape[0]
+    n_draw = 5 - (n_dead - 4)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     wins, ties = pl.pallas_call(
-        _equity_kernel,
+        _make_equity_kernel(n_dead, n_draw),
         grid=(n_programs,),
-        in_specs=[smem(1), smem(4), smem(4), smem(4)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        in_specs=[smem, smem, smem, smem],
+        out_specs=(smem, smem),
         out_shape=(jax.ShapeDtypeStruct((1, 1), I32),
                    jax.ShapeDtypeStruct((1, 1), I32)),
         compiler_params=pltpu.CompilerParams(
@@ -124,7 +129,7 @@ def equity_counts_pallas(seed, dead, hero_masks, villain_masks,
         ),
         interpret=interpret,
     )(jnp.asarray(seed, I32).reshape(1),
-      jnp.asarray(dead, I32).reshape(4),
+      jnp.asarray(dead, I32).reshape(n_dead),
       jnp.asarray(hero_masks, I32).reshape(4),
       jnp.asarray(villain_masks, I32).reshape(4))
     return wins[0, 0], ties[0, 0]
@@ -203,15 +208,21 @@ def equity_sweep_pallas(seed: int, heroes, n_rollouts_per_hand: int,
 
 
 def equity_vs_hand_pallas(seed: int, hero, villain, n_rollouts: int,
-                          interpret: bool = False):
-    """Hand-vs-hand equity via the fused kernel. Returns (wins, ties, n)."""
+                          board=(), interpret: bool = False):
+    """Hand-vs-hand equity via the fused kernel, optionally on a known
+    partial ``board`` (flop or flop+turn). Returns (wins, ties, n)."""
     from montecarlo_tpu.ops.evaluator import suit_masks_from_cards
 
     hero = jnp.asarray(hero, I32)
     villain = jnp.asarray(villain, I32)
-    dead = jnp.sort(jnp.concatenate([hero, villain]))
-    hm = jnp.stack(suit_masks_from_cards(hero))
-    vm = jnp.stack(suit_masks_from_cards(villain))
+    board = jnp.asarray(board, I32).reshape(-1)
+    dead = jnp.sort(jnp.concatenate([hero, villain, board]))
+    bmask = (suit_masks_from_cards(board) if board.shape[0]
+             else [jnp.zeros((), I32)] * 4)
+    hm = jnp.stack([m | b for m, b in
+                    zip(suit_masks_from_cards(hero), bmask)])
+    vm = jnp.stack([m | b for m, b in
+                    zip(suit_masks_from_cards(villain), bmask)])
     n_programs = max(1, -(-n_rollouts // TILE_N))
     w, t = equity_counts_pallas(seed, dead, hm, vm, n_programs,
                                 interpret=interpret)

@@ -52,6 +52,21 @@ def main() -> int:
         ok = lo < eq[i] < hi
         failures += 0 if ok else 1
         print(f"sweep {nm:4s} vs random = {eq[i]:.4f} [{'ok' if ok else 'FAIL'}]")
+    # Partial-board kernel vs the exact enumerator (990 flop completions).
+    from montecarlo_tpu.rollout.equity import equity_exact
+
+    fhero = [make_card(H, 14), make_card(H, 13)]
+    fvillain = [make_card(D, 12), make_card(S, 12)]
+    flop = [make_card(H, 12), make_card(H, 7), make_card(H, 2)]
+    exact = equity_exact(fhero, fvillain, board=flop)
+    w, t, n = equity_vs_hand_pallas(13, fhero, fvillain, 2_000_000,
+                                    board=flop)
+    pal = (w + 0.5 * t) / n
+    ok = abs(pal - exact.equity) < 0.003
+    failures += 0 if ok else 1
+    print(f"flop kernel  exact={exact.equity:.4f} pallas={pal:.4f} "
+          f"[{'ok' if ok else 'FAIL'}]")
+
     for name, hero, villain, approx in MATCHUPS:
         xla = equity_vs_hand(jax.random.key(1), hero, villain, N,
                              batch_size=1 << 20)

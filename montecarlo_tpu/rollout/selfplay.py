@@ -66,18 +66,25 @@ def play_one_hand(
                         settle_showdown(state, rules=rules), state)
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_hands", "max_steps", "policy"))
+@partial(jax.jit,
+         static_argnames=("cfg", "num_hands", "max_steps", "policy",
+                          "collect_deltas"))
 def play_hands(
     keys: jax.Array,
     cfg: TableConfig,
     num_hands: int = 1,
     max_steps: Optional[int] = None,
     policy: Callable = random_policy,
-) -> TableState:
+    collect_deltas: bool = False,
+):
     """Play ``num_hands`` consecutive hands on ``len(keys)`` parallel tables.
 
-    Returns the batch of final (settled) states; chips conservation holds
-    only up to the reference's n-inflation minting (see ``engine.bets``).
+    Returns the batch of final (settled) states; with
+    ``collect_deltas=True`` returns ``(final, deltas)`` where ``deltas`` is
+    ``[tables, hands, P]`` settled chip change per hand by *position*
+    (position 0 = that hand's small blind). Chip conservation holds exactly
+    under standard rules; under reference rules only up to the n-inflation
+    minting (see ``engine.bets``).
     """
     steps = max_steps or hand_action_bound(cfg)
 
@@ -86,17 +93,32 @@ def play_hands(
 
         def hand_body(st, xs):
             i, hand_key = xs
+            # Pre-hand stacks in this hand's position space.
+            pre = jnp.where(i > 0, jnp.roll(st.stacks, -1),
+                            jnp.full_like(st.stacks, cfg.starting_stack))
             st = _select_tree(i > 0, next_hand(st, rules=cfg.rules), st)
             st = play_one_hand(st, hand_key, policy=policy, max_steps=steps,
                                rules=cfg.rules)
-            return st, None
+            return st, st.stacks - pre
 
         hand_keys = jax.random.split(jax.random.fold_in(key, 0x5E1F), num_hands)
-        final, _ = jax.lax.scan(
+        final, deltas = jax.lax.scan(
             hand_body, st, (jnp.arange(num_hands), hand_keys))
-        return final  # settled state of the last hand
+        return final, deltas  # settled state of the last hand; [hands, P]
 
-    return jax.vmap(one_table)(keys)
+    final, deltas = jax.vmap(one_table)(keys)
+    return (final, deltas) if collect_deltas else final
+
+
+def position_winrates(deltas, big_blind: int):
+    """[tables, hands, P] chip deltas -> (bb/hand mean[P], stderr[P]).
+
+    Position 0 is each hand's small blind."""
+    import numpy as np
+
+    bb = np.asarray(deltas, np.float64) / big_blind
+    flat = bb.reshape(-1, bb.shape[-1])
+    return flat.mean(axis=0), flat.std(axis=0, ddof=1) / np.sqrt(flat.shape[0])
 
 
 def selfplay_stats(states: TableState) -> Dict[str, jax.Array]:

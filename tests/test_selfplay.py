@@ -71,3 +71,21 @@ def test_duplicate_match_detects_edges():
     r0 = duplicate_match(jax.random.key(6), always_call, always_call,
                          n_tables=1024)
     assert abs(r0.bb_per_hand) < 6 * max(r0.stderr, 1e-9), r0
+
+
+def test_collect_deltas_and_position_winrates():
+    from montecarlo_tpu.rollout.selfplay import position_winrates
+
+    cfg = TableConfig(num_seats=3, rules="standard")
+    keys = jax.random.split(jax.random.key(23), 128)
+    final, deltas = play_hands(keys, cfg, num_hands=4, collect_deltas=True)
+    assert deltas.shape == (128, 4, 3)
+    # Standard rules conserve chips: per-table-per-hand deltas sum to zero.
+    np.testing.assert_array_equal(
+        np.asarray(deltas.sum(axis=2)), np.zeros((128, 4), np.int32))
+    # And cumulative deltas reconstruct... positions rotate, so check the
+    # grand total matches the final stacks vs starting stacks.
+    assert int(np.asarray(deltas).sum()) == int(
+        np.asarray(final.stacks).sum()) - 128 * 300
+    mean_bb, se = position_winrates(deltas, cfg.big_blind)
+    assert mean_bb.shape == (3,) and np.all(np.isfinite(se))

@@ -266,3 +266,37 @@ def test_many_rooms_and_interleaved_clients():
         assert "hand" in sink[-1] and len(sink[-1]["hand"]) == 2
     # Every stack is an int and the registry stayed consistent.
     assert all(isinstance(v, int) for v in reg.stacks.values())
+
+
+def test_tcp_timeout_sweeper_auto_folds():
+    async def scenario():
+        server, reg = await start_server(host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+
+        async def client():
+            return await asyncio.open_connection("127.0.0.1", port)
+
+        async def send(w, obj):
+            w.write((json.dumps(obj) + "\r\n").encode())
+            await w.drain()
+
+        r1, w1 = await client()
+        r2, w2 = await client()
+        await send(w1, {"type": "new_room", "name": "t", "n": 2,
+                        "timeout": 1})
+        await send(w1, {"type": "join_room", "name": "t"})
+        await send(w2, {"type": "join_room", "name": "t"})
+        # Nobody acts; within ~2s the sweeper must auto-fold the head and
+        # the hand rolls into the next deal.
+        for _ in range(20):
+            await asyncio.sleep(0.2)
+            if reg.rooms["t"].started and \
+                    reg.rooms["t"].engine.info()["hand_idx"] >= 1:
+                break
+        assert reg.rooms["t"].engine.info()["hand_idx"] >= 1
+        for w in (w1, w2):
+            w.close()
+        server.close()
+        await server.wait_closed()
+
+    asyncio.run(scenario())

@@ -51,3 +51,16 @@ def test_ci_width_meter():
     lo, hi = res.ci95
     assert res.n > 0 and lo < res.equity < hi
     assert 0.40 < res.equity < 0.52  # loose: tiny n on CPU
+
+
+def test_device_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.utils.profiling import device_trace
+
+    with device_trace(str(tmp_path / "trace")):
+        _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    # A trace directory was produced.
+    import os as _os
+
+    assert any(True for _ in _os.walk(str(tmp_path / "trace")))

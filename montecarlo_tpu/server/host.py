@@ -194,6 +194,12 @@ class Registry:
         name = req.get("name")
         n = req.get("n")
         blinds = req.get("blinds") or {"small": 5, "big": 10}
+        if not isinstance(blinds, dict):
+            # Non-map blinds blow up the reference on (vals ...); answer the
+            # blinds error instead of dying.
+            return self.send(pid, error(-12, "Blinds must be positive integers"))
+        if not isinstance(name, (str, type(None))):
+            name = None  # unhashable/odd names -> "empty room name."
         if name in self.rooms:
             return self.send(pid, error(-5, "room already exists."))
         if name is None:
@@ -258,6 +264,14 @@ class Registry:
         self.send(pid, pid)
 
     def dispatch(self, pid: str, req: Dict):
+        try:
+            self._dispatch(pid, req)
+        except Exception:
+            # A malformed-but-parseable request must never kill the
+            # connection loop (the reference throws into aleph here).
+            self.send(pid, error(-1, 'bad "type" argument'))
+
+    def _dispatch(self, pid: str, req: Dict):
         cmd = req.get("type")
         if cmd == "new_room":
             self.new_room(pid, req)

@@ -300,3 +300,21 @@ def test_tcp_timeout_sweeper_auto_folds():
         await server.wait_closed()
 
     asyncio.run(scenario())
+
+
+def test_malformed_requests_do_not_crash():
+    reg = Registry()
+    a = Client(reg)
+    reg.dispatch(a.pid, {"type": "new_room", "name": "x", "n": 2,
+                         "blinds": 5})
+    assert a.msgs[-1] == {"status": -12, "msg": "Blinds must be positive integers"}
+    reg.dispatch(a.pid, {"type": "new_room", "name": ["weird"], "n": 2})
+    assert a.msgs[-1] == {"status": -5, "msg": "empty room name."}
+    reg.dispatch(a.pid, {"type": "join_room", "name": {"a": 1}})
+    assert a.msgs[-1]["status"] in (-1, -2)
+    reg.dispatch(a.pid, {"type": "play", "name": None, "amt": "ten"})
+    reg.dispatch(a.pid, {"type": "hand", "name": 7})
+    assert a.msgs[-1]["status"] == -1
+    # Registry still serves subsequent valid traffic.
+    reg.dispatch(a.pid, {"type": "whoami"})
+    assert a.msgs[-1] == a.pid

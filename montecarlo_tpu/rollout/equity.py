@@ -58,6 +58,17 @@ class EquityResult(NamedTuple):
         return (p - 1.96 * se, p + 1.96 * se)
 
 
+
+def _check_disjoint(*card_groups):
+    """Hole cards/boards passed to equity APIs must not share cards —
+    overlaps would silently corrupt the dead-card shift mapping."""
+    flat = [int(c) for g in card_groups for c in np.asarray(g).reshape(-1)]
+    if len(flat) != len(set(flat)):
+        raise ValueError(f"cards are not disjoint: {sorted(flat)}")
+    if any(c < 0 or c > 51 for c in flat):
+        raise ValueError(f"card ids out of range: {sorted(flat)}")
+
+
 def complement(dead) -> jax.Array:
     """Ascending card ids not in ``dead`` (shape [52 - len(dead)])."""
     dead = jnp.asarray(dead, I32)
@@ -163,6 +174,7 @@ def equity_vs_hand(
 
     ``n_rollouts`` is rounded up to a whole number of batches.
     """
+    _check_disjoint(hero, villain, board)
     hero = jnp.asarray(hero, I32)
     villain = jnp.asarray(villain, I32)
     board = jnp.asarray(board, I32).reshape(-1)
@@ -203,6 +215,7 @@ def equity_vs_random(
 ) -> EquityResult:
     """Hero hole cards vs a uniformly random villain (169-sweep building
     block, BASELINE config 5)."""
+    _check_disjoint(hero)
     hero = jnp.asarray(hero, I32)
     batch, n_chunks = _chunking(n_rollouts, batch_size)
     w, t = _equity_vs_random_device(key, hero, batch, n_chunks)
@@ -252,6 +265,7 @@ def equity_multiway(
     """Equity of N specified hands against each other (ties split
     fractionally), optionally on a partial board. Returns (equity[N], n).
     """
+    _check_disjoint(hands, board)
     hands = jnp.asarray(hands, I32).reshape(-1, 2)
     board = jnp.asarray(board, I32).reshape(-1)
     batch, n_chunks = _chunking(n_rollouts, batch_size)
@@ -372,6 +386,7 @@ def equity_exact(hero: Sequence[int], villain: Sequence[int],
     """
     import itertools
 
+    _check_disjoint(hero, villain, board)
     hero = jnp.asarray(hero, I32)
     villain = jnp.asarray(villain, I32)
     fixed = np.asarray(board, np.int32).reshape(-1)

@@ -191,3 +191,21 @@ def test_equity_multiway():
     two = equity_multiway(jax.random.key(32), hands[:2], 150_000)[0]
     pair = equity_vs_hand(jax.random.key(33), hands[0], hands[1], 150_000)
     assert abs(float(two[0]) - pair.equity) < 0.01
+
+
+def test_overlapping_cards_rejected():
+    import pytest as _pytest
+
+    from montecarlo_tpu.rollout.equity import equity_exact, equity_multiway
+
+    ah = make_card(H, 14)
+    with _pytest.raises(ValueError):
+        equity_vs_hand(jax.random.key(0), [ah, make_card(H, 13)],
+                       [ah, make_card(D, 12)], 1000)
+    with _pytest.raises(ValueError):
+        equity_exact([ah, make_card(H, 13)], [make_card(D, 12), ah])
+    with _pytest.raises(ValueError):
+        equity_multiway(jax.random.key(0),
+                        [[ah, make_card(H, 13)], [ah, make_card(D, 2)]], 1000)
+    with _pytest.raises(ValueError):
+        equity_vs_hand(jax.random.key(0), [ah, 99], [1, 2], 1000)

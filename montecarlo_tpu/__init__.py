@@ -35,3 +35,34 @@ from montecarlo_tpu.handval import (  # noqa: F401
 )
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level API (keeps `import montecarlo_tpu` light; the heavy
+    # JAX modules load on first use).
+    lazy = {
+        "TableConfig": "montecarlo_tpu.engine.state",
+        "TableState": "montecarlo_tpu.engine.state",
+        "init_state": "montecarlo_tpu.engine.state",
+        "step_action": "montecarlo_tpu.engine.step",
+        "step_table": "montecarlo_tpu.engine.step",
+        "public_board": "montecarlo_tpu.engine.public",
+        "play_hands": "montecarlo_tpu.rollout.selfplay",
+        "equity_vs_hand": "montecarlo_tpu.rollout.equity",
+        "equity_vs_random": "montecarlo_tpu.rollout.equity",
+        "equity_vs_range": "montecarlo_tpu.rollout.equity",
+        "equity_multiway": "montecarlo_tpu.rollout.equity",
+        "equity_exact": "montecarlo_tpu.rollout.equity",
+        "expand_range": "montecarlo_tpu.rollout.equity",
+        "canonical_hands": "montecarlo_tpu.rollout.equity",
+        "duplicate_match": "montecarlo_tpu.rollout.evaluate",
+        "make_mesh": "montecarlo_tpu.parallel.mesh",
+        "equity_sweep": "montecarlo_tpu.parallel.mesh",
+        "train_policy": "montecarlo_tpu.models.train",
+        "net_policy": "montecarlo_tpu.models.policy_net",
+    }
+    if name in lazy:
+        import importlib
+
+        return getattr(importlib.import_module(lazy[name]), name)
+    raise AttributeError(f"module 'montecarlo_tpu' has no attribute {name!r}")

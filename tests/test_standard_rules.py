@@ -169,3 +169,45 @@ def test_stepwise_chip_conservation(n_seats, seed):
         _pytest.fail("no termination")
     st = settle_showdown(st, rules=RULES)
     assert int(np.asarray(st.stacks).sum()) == total0
+
+
+def test_cascading_side_pots_textbook_payouts():
+    # Effective stacks 100/60/20 all-in preflop: a three-tier cascade. Deck
+    # crafted so the SHORT stack (p3) has the best hand, the MIDDLE stack
+    # (p2) second, the BIG stack (p1) worst:
+    #   main pot   (20 x 3 = 60) -> p3
+    #   side pot 1 (40 x 2 = 80) -> p2
+    #   side pot 2 (40 x 1 = 40) -> p1 (its own uncalled chips back)
+    AH, AD = make_card(0, 14), make_card(1, 14)
+    KH, KD = make_card(0, 13), make_card(1, 13)
+    J1, J2 = make_card(2, 11), make_card(3, 11)  # p1's junk jacks? no:
+    # p1 gets 2/7 offsuit junk; board low and dry.
+    lo1, lo2 = make_card(2, 2), make_card(3, 7)
+    used = [lo1, KH, AH,        # first hole card p1,p2,p3
+            lo2, KD, AD,        # second hole card
+            None, make_card(2, 3), make_card(3, 4), make_card(2, 9),
+            None, make_card(3, 10),
+            None, make_card(2, 12)]
+    rest = iter(c for c in range(52)
+                if c not in {x for x in used if x is not None})
+    deck = [c if c is not None else next(rest) for c in used]
+    deck += [c for c in range(52) if c not in set(deck)]
+
+    st = mk3(deck=deck)
+    st = st._replace(stacks=jnp.array([95, 50, 20], jnp.int32))
+    # (post-blind stacks: p1 posted SB 5 of 100, p2 BB 10 of 60, p3 none
+    # of 20)
+    st = act(st, 90)    # p3 shoves: clamp -> all-in raise, 20 total
+    st = act(st, 200)   # p1 reraises all-in over the top: 100 total
+    st = act(st, 0)     # p2 calls all-in for less: 60 total
+    assert bool(st.hand_over)
+    # Main tiers (5+5+10 matched by all) then the 40/40 side tiers.
+    assert [(a, m) for a, m, _, _ in layers_spec(st.pots, 3)] == [
+        (5, fs(0, 1, 2)), (5, fs(0, 1, 2)), (10, fs(0, 1, 2)),
+        (40, fs(0, 1)), (40, fs(0)),
+    ]
+    st = settle_showdown(st, rules=RULES)
+    stacks = np.asarray(st.stacks).tolist()
+    assert sum(stacks) == 180  # 100 + 60 + 20
+    # p3 wins the 60 main, p2 the 80 side pot, p1 its uncalled 40 back.
+    assert stacks == [40, 80, 60], stacks

@@ -101,3 +101,53 @@ def test_random_game_trajectory(n_seats, seed):
     g.settle()
     assert np.asarray(st.stacks).tolist() == g.stacks
     assert layers_spec(st.pots) == [tuple(x) for x in oracle_snapshot(g)["pots"]]
+
+
+@pytest.mark.parametrize("n_seats,seed", [(2, 100), (3, 101), (4, 102),
+                                          (6, 103)])
+def test_multi_hand_trajectory(n_seats, seed):
+    """Perpetual-hand conformance (gameplay.clj:122-150): three consecutive
+    hands with settle -> rotate -> re-deal; stacks persist per player,
+    busted players keep playing, blinds go negative — all vs the oracle."""
+    from montecarlo_tpu.engine import next_hand
+
+    rng = random.Random(seed)
+    cfg = TableConfig(num_seats=n_seats, max_layers=24, max_pot_layers=64)
+    st = init_state(jax.random.key(seed), cfg)
+    oracle_stacks = [100] * n_seats  # by current hand-order position
+
+    for hand in range(3):
+        deck = list(range(52))
+        rng.shuffle(deck)
+        st = redeal(st, jnp.array(deck, jnp.int32))
+        g = OracleGame(n=n_seats, small=5, big=10, deck=deck,
+                       stacks=list(oracle_stacks))
+        assert engine_snapshot(st) == oracle_snapshot(g), f"hand {hand} deal"
+
+        for step in range(300):
+            if g.over:
+                break
+            raw = gen_action(rng, g)
+            a = int(clamp_action(st, jnp.asarray(raw, jnp.int32)))
+            assert a == g.clamp(raw)
+            st = step_action(st, jnp.asarray(a, jnp.int32))
+            g.act(a)
+            assert engine_snapshot(st) == oracle_snapshot(g), \
+                f"hand {hand} step {step}"
+        else:
+            pytest.fail("no termination")
+
+        st = settle_showdown(st)
+        g.settle()
+        assert np.asarray(st.stacks).tolist() == g.stacks, f"hand {hand}"
+
+        # Rotate into the next hand: oracle stacks shift one position left
+        # (players-list rotation), engine rolls positionally.
+        oracle_stacks = g.stacks[1:] + g.stacks[:1]
+        st = next_hand(st)
+        assert int(st.button) == (hand + 1) % n_seats
+        # Engine already posted blinds for the new hand; compare pre-blind.
+        pre = np.asarray(st.stacks).copy()
+        pre[0] += 5
+        pre[1] += 10
+        assert pre.tolist() == oracle_stacks, f"hand {hand} rotation"

@@ -207,6 +207,91 @@ def equity_sweep_pallas(seed: int, heroes, n_rollouts_per_hand: int,
     return eq, n
 
 
+def _make_multiway_kernel(n_hands: int, n_dead: int, n_draw: int, scale: int):
+    def kernel(seed_ref, dead_ref, hmask_ref, shares_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for h in range(n_hands):
+                shares_ref[h] = I32(0)
+
+        pltpu.prng_seed(seed_ref[0] + i)
+        dead = [dead_ref[j] for j in range(n_dead)]
+        bm = _masks_of(_sample_cards(dead, TILE, n_draw), TILE)
+        # Packed keys fit in 23 bits: int32 order == uint32 order (Mosaic
+        # has no unsigned vector max).
+        values = [
+            eval_masks_impl(*[m | hmask_ref[h, s] for s, m in enumerate(bm)])
+            .astype(I32)
+            for h in range(n_hands)
+        ]
+        vmax = values[0]
+        for v in values[1:]:
+            vmax = jnp.maximum(vmax, v)
+        winners = [v == vmax for v in values]
+        cnt = winners[0].astype(I32)
+        for w in winners[1:]:
+            cnt = cnt + w.astype(I32)
+        share = I32(scale) // cnt  # scale = lcm(1..N): exact integer split
+        for h in range(n_hands):
+            shares_ref[h] += jnp.sum(jnp.where(winners[h], share, 0))
+
+    return kernel
+
+
+def equity_multiway_pallas(seed: int, hands, n_rollouts: int, board=(),
+                           interpret: bool = False):
+    """Multiway equity via the fused kernel: N hands against each other,
+    ties split exactly (integer shares scaled by lcm(1..N)).
+
+    Returns (equity float64[N], rollouts)."""
+    import math
+
+    import numpy as np
+
+    from montecarlo_tpu.ops.evaluator import suit_masks_from_cards
+
+    hands = jnp.asarray(hands, I32).reshape(-1, 2)
+    N = hands.shape[0]
+    board = jnp.asarray(board, I32).reshape(-1)
+    K = board.shape[0]
+    dead = jnp.sort(jnp.concatenate([hands.reshape(-1), board]))
+    bmask = (suit_masks_from_cards(board) if K
+             else [jnp.zeros((), I32)] * 4)
+    hm = jnp.stack([jnp.stack([m | b for m, b in
+                               zip(suit_masks_from_cards(hands[h]), bmask)])
+                    for h in range(N)])  # [N, 4]
+    scale = math.lcm(*range(1, N + 1))
+    # int32 counter headroom: scale * rollouts_per_launch < 2^31.
+    max_per_launch = (2**31 - 1) // (scale * TILE_N)
+    n_programs_total = max(1, -(-n_rollouts // TILE_N))
+    n_programs = min(n_programs_total, max_per_launch)
+
+    @partial(jax.jit, static_argnames=())
+    def run(seed, dead, hm):
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            _make_multiway_kernel(N, int(dead.shape[0]), 5 - K, scale),
+            grid=(n_programs,),
+            in_specs=[smem, smem, smem],
+            out_specs=smem,
+            out_shape=jax.ShapeDtypeStruct((N,), I32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(jnp.asarray(seed, I32).reshape(1), dead, hm)
+
+    total_shares = np.zeros((N,), np.float64)
+    n = 0
+    launches = -(-n_programs_total // n_programs)
+    for i in range(launches):
+        total_shares += np.asarray(run(seed + 7919 * i, dead, hm), np.float64)
+        n += n_programs * TILE_N
+    eq = total_shares / (scale * n)
+    return eq, n
+
+
 def equity_vs_hand_pallas(seed: int, hero, villain, n_rollouts: int,
                           board=(), interpret: bool = False):
     """Hand-vs-hand equity via the fused kernel, optionally on a known

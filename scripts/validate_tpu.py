@@ -67,6 +67,20 @@ def main() -> int:
     print(f"flop kernel  exact={exact.equity:.4f} pallas={pal:.4f} "
           f"[{'ok' if ok else 'FAIL'}]")
 
+    # Multiway kernel vs XLA multiway path.
+    from montecarlo_tpu.ops.pallas_equity import equity_multiway_pallas
+    from montecarlo_tpu.rollout.equity import equity_multiway
+
+    trio = [[make_card(H, 14), make_card(D, 14)],
+            [make_card(S, 13), make_card(C, 13)],
+            [make_card(H, 7), make_card(D, 6)]]
+    eq_k, _ = equity_multiway_pallas(17, trio, 2_000_000)
+    eq_x, _ = equity_multiway(jax.random.key(18), trio, 2_000_000)
+    ok = max(abs(a - b) for a, b in zip(eq_k, eq_x)) < 0.004
+    failures += 0 if ok else 1
+    print(f"multiway kernel vs xla: {[round(float(x), 4) for x in eq_k]} vs "
+          f"{[round(float(x), 4) for x in eq_x]} [{'ok' if ok else 'FAIL'}]")
+
     for name, hero, villain, approx in MATCHUPS:
         xla = equity_vs_hand(jax.random.key(1), hero, villain, N,
                              batch_size=1 << 20)

@@ -1,0 +1,163 @@
+"""Heads-up push/fold Nash solver on the equity engine.
+
+The classic short-stack game: the small blind either jams its whole stack
+or folds; the big blind calls or folds. Equilibrium jam/call ranges are a
+textbook result (e.g. the SB jams ~55-60% of hands at 10bb) — a natural
+end-to-end validation target for the whole stack: the 169x169 all-in
+matchup equity matrix comes from the batched rollout engine, and the
+equilibrium from damped best-response iteration (fictitious play).
+
+Approximations (documented, adequate for ~1pp range accuracy):
+- each canonical hand is represented by one combo (hero hearts/diamonds,
+  villain spades/clubs, so representatives never collide);
+- card-removal effects between the two hands' combo counts are ignored
+  (weights are the unconditional 6/4/12 combo counts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_tpu.cards import make_card
+from montecarlo_tpu.ops.evaluator import eval_masks, suit_masks_from_cards
+from montecarlo_tpu.rollout.equity import (
+    canonical_hands,
+    sample_distinct,
+    slots_to_cards,
+)
+
+I32 = jnp.int32
+
+
+def _representatives():
+    """(labels, hero_combos [169,2], villain_combos [169,2], weights[169])."""
+    names = "23456789TJQKA"
+    labels, hero, villain, w = [], [], [], []
+    for label, _ in canonical_hands():
+        r1 = names.index(label[0]) + 2
+        r2 = names.index(label[1]) + 2
+        labels.append(label)
+        if r1 == r2:
+            hero.append((make_card(0, r1), make_card(1, r1)))      # h,d
+            villain.append((make_card(2, r1), make_card(3, r1)))   # s,c
+            w.append(6)
+        elif label.endswith("s"):
+            hero.append((make_card(0, r1), make_card(0, r2)))      # hearts
+            villain.append((make_card(2, r1), make_card(2, r2)))   # spades
+            w.append(4)
+        else:
+            hero.append((make_card(0, r1), make_card(1, r2)))      # h,d
+            villain.append((make_card(2, r1), make_card(3, r2)))   # s,c
+            w.append(12)
+    return (labels, np.array(hero, np.int32), np.array(villain, np.int32),
+            np.array(w, np.float64))
+
+
+@partial(jax.jit, static_argnames=("batch", "n_chunks"))
+def _pair_equities(key, heroes, villains, batch: int, n_chunks: int):
+    """Vmapped hand-vs-hand equity for [M] matchups; returns win+tie/2 sums
+    as float32 [M] (divide by batch*n_chunks on the host)."""
+
+    def one(key, hero, vill):
+        dead = jnp.sort(jnp.concatenate([hero, vill]))
+        hm = suit_masks_from_cards(hero)
+        vm = suit_masks_from_cards(vill)
+
+        def chunk(carry, i):
+            slots = sample_distinct(jax.random.fold_in(key, i), 48, 5, batch)
+            board = slots_to_cards(slots, dead)
+            bm = suit_masks_from_cards(board)
+            vh = eval_masks(*[m | h for m, h in zip(bm, hm)])
+            vv = eval_masks(*[m | v for m, v in zip(bm, vm)])
+            score = (jnp.sum((vh > vv).astype(jnp.float32))
+                     + 0.5 * jnp.sum((vh == vv).astype(jnp.float32)))
+            return carry + score, None
+
+        total, _ = jax.lax.scan(chunk, jnp.zeros((), jnp.float32),
+                                jnp.arange(n_chunks))
+        return total
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(heroes.shape[0]))
+    return jax.vmap(one)(keys, heroes, villains)
+
+
+def matchup_equity_matrix(key, n_per: int = 1 << 15,
+                          m_chunk: int = 2048) -> np.ndarray:
+    """[169, 169] hero-row-vs-villain-column all-in equity matrix."""
+    _, hero, villain, _ = _representatives()
+    hh = np.repeat(np.arange(169), 169)
+    vv = np.tile(np.arange(169), 169)
+    heroes = jnp.asarray(hero[hh])
+    villains = jnp.asarray(villain[vv])
+    batch = min(n_per, 1 << 13)
+    n_chunks = -(-n_per // batch)
+    out = np.empty((169 * 169,), np.float64)
+    for i in range(0, heroes.shape[0], m_chunk):
+        sums = _pair_equities(jax.random.fold_in(key, i),
+                              heroes[i:i + m_chunk], villains[i:i + m_chunk],
+                              batch, n_chunks)
+        out[i:i + m_chunk] = np.asarray(sums, np.float64) / (batch * n_chunks)
+    return out.reshape(169, 169)
+
+
+class PushFoldSolution(NamedTuple):
+    labels: list
+    jam: np.ndarray         # [169] SB jam probability
+    call: np.ndarray        # [169] BB call-vs-jam probability
+    stack_bb: float
+
+    def jam_range(self, threshold: float = 0.5):
+        return [l for l, p in zip(self.labels, self.jam) if p > threshold]
+
+    def call_range(self, threshold: float = 0.5):
+        return [l for l, p in zip(self.labels, self.call) if p > threshold]
+
+    @property
+    def jam_fraction(self) -> float:
+        _, _, _, w = _representatives()
+        return float((self.jam * w).sum() / w.sum())
+
+    @property
+    def call_fraction(self) -> float:
+        _, _, _, w = _representatives()
+        return float((self.call * w).sum() / w.sum())
+
+
+def solve_push_fold(eq: np.ndarray, stack_bb: float,
+                    iters: int = 2000, damping: float = 0.05
+                    ) -> PushFoldSolution:
+    """Fictitious play on the jam/call game at ``stack_bb`` effective
+    stacks (blinds 0.5/1; stacks include the posted blinds).
+
+    SB folds: -0.5. SB jams: +1 if BB folds; 2S*eq - S if called.
+    BB facing a jam: fold -1; call 2S*eq' - S.
+    """
+    labels, _, _, w = _representatives()
+    w = w / w.sum()
+    S = float(stack_bb)
+
+    jam = np.full(169, 0.5)
+    call = np.full(169, 0.5)
+    for _ in range(iters):
+        # BB best response to jam: call iff EV(call) > EV(fold) = -1.
+        jam_w = w * jam
+        jam_mass = jam_w.sum()
+        if jam_mass > 0:
+            # eq.T[v, h]: villain(BB) equity vs hero hand h = 1 - eq[h, v].
+            ev_call = ((1.0 - eq) * jam_w[:, None]).sum(axis=0) / jam_mass
+            br_call = (2 * S * ev_call - S > -1.0).astype(float)
+        else:
+            br_call = np.zeros(169)
+        # SB best response to call: jam iff EV(jam) > EV(fold) = -0.5.
+        ev_jam = ((1 - call[None, :]) * 1.0
+                  + call[None, :] * (2 * S * eq - S)) @ w
+        br_jam = (ev_jam > -0.5).astype(float)
+        jam = (1 - damping) * jam + damping * br_jam
+        call = (1 - damping) * call + damping * br_call
+    return PushFoldSolution(labels=labels, jam=jam, call=call, stack_bb=S)

@@ -75,3 +75,42 @@ def test_reinforce_one_step_runs():
     out = train_policy(jax.random.key(4), cfg=cfg, opponent=always_call,
                        tables=64, steps=2, lr=1e-3, max_steps=24)
     assert np.isfinite(np.asarray(out.mean_reward_bb)).all()
+
+
+def test_push_fold_solver_logic_on_synthetic_matrix():
+    from montecarlo_tpu.models.pushfold import solve_push_fold
+
+    # Synthetic equity: hand i beats hand j with probability proportional
+    # to rank separation -> the solver must produce monotone ranges.
+    idx = np.arange(169, dtype=np.float64)
+    strength = 1.0 - idx / 168.0  # hand 0 strongest
+    eqm = 0.5 + 0.4 * (strength[:, None] - strength[None, :])
+    sol10 = solve_push_fold(eqm, 10)
+    sol5 = solve_push_fold(eqm, 5)
+    # Strongest hand always jams/calls; weakest never (at 10bb).
+    assert sol10.jam[0] > 0.9 and sol10.call[0] > 0.9
+    assert sol10.jam[-1] < 0.1
+    # Shallower stacks widen both ranges.
+    assert sol5.jam_fraction >= sol10.jam_fraction
+    assert sol5.call_fraction >= sol10.call_fraction
+
+
+def test_push_fold_artifact_matches_published_nash():
+    # The committed solution table (computed on TPU from 32k-rollout
+    # matchup equities) must reproduce the textbook 10bb Nash numbers.
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "pushfold_ranges.json")
+    with open(path) as f:
+        table = json.load(f)["solutions"]
+    ten = table["10bb"]
+    assert 0.52 < ten["sb_jam_fraction"] < 0.64   # published ~0.58
+    assert 0.32 < ten["bb_call_fraction"] < 0.44  # published ~0.37
+    assert "AA" in ten["sb_jam_range"] and "AA" in ten["bb_call_range"]
+    assert "32o" not in ten["sb_jam_range"]
+    # Ranges widen as stacks shrink.
+    assert (table["3bb"]["sb_jam_fraction"]
+            > table["10bb"]["sb_jam_fraction"]
+            > table["20bb"]["sb_jam_fraction"])

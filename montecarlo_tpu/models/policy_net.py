@@ -83,3 +83,18 @@ def net_policy(params: MLPParams):
         return action_from_index(idx, state)
 
     return policy
+
+
+def save_params(path: str, params: MLPParams) -> None:
+    import numpy as np
+
+    np.savez_compressed(path, **{f"p_{i}": np.asarray(x)
+                                 for i, x in enumerate(params)})
+
+
+def load_params(path: str) -> MLPParams:
+    import numpy as np
+
+    with np.load(path) as data:
+        return MLPParams(*[jnp.asarray(data[f"p_{i}"])
+                           for i in range(len(MLPParams._fields))])

@@ -114,3 +114,17 @@ def test_push_fold_artifact_matches_published_nash():
     assert (table["3bb"]["sb_jam_fraction"]
             > table["10bb"]["sb_jam_fraction"]
             > table["20bb"]["sb_jam_fraction"])
+
+
+def test_pretrained_policy_artifact_loads_and_plays():
+    import os
+
+    from montecarlo_tpu.models.policy_net import load_params, net_policy
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "policy_hu_300.npz")
+    params = load_params(path)
+    cfg = TableConfig(num_seats=2, rules="standard")
+    keys = jax.random.split(jax.random.key(77), 64)
+    final = play_hands(keys, cfg, num_hands=1, policy=net_policy(params))
+    assert bool(jnp.all(final.hand_over))

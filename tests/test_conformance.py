@@ -70,6 +70,7 @@ def gen_action(rng, g):
     (2, 0), (2, 1), (3, 2), (3, 3), (3, 4),
     (4, 5), (4, 6), (6, 7), (6, 8), (6, 9),
     (3, 10), (6, 11), (2, 12), (4, 13), (6, 14),
+    (8, 15), (9, 16),  # full-ring tables
 ])
 def test_random_game_trajectory(n_seats, seed):
     rng = random.Random(seed)

@@ -12,3 +12,14 @@ from montecarlo_tpu.ops.evaluator import (  # noqa: F401
     eval_masks,
     suit_masks_from_cards,
 )
+
+
+def __getattr__(name):
+    # Pallas kernels import lazily (TPU-only primitives).
+    if name in ("equity_vs_hand_pallas", "equity_sweep_pallas",
+                "equity_multiway_pallas"):
+        import importlib
+
+        return getattr(
+            importlib.import_module("montecarlo_tpu.ops.pallas_equity"), name)
+    raise AttributeError(name)

@@ -7,6 +7,10 @@ end-to-end validation target for the whole stack: the 169x169 all-in
 matchup equity matrix comes from the batched rollout engine, and the
 equilibrium from damped best-response iteration (fictitious play).
 
+Two matrix backends: ``matchup_equity_matrix`` (Monte Carlo) and
+``matchup_equity_matrix_exact`` (every matchup enumerated over all C(48,5)
+boards — 4.9e10 evaluations, ~160 s on one chip, zero noise).
+
 Approximations (documented, adequate for ~1pp range accuracy):
 - each canonical hand is represented by one combo (hero hearts/diamonds,
   villain spades/clubs, so representatives never collide);
@@ -104,6 +108,83 @@ def matchup_equity_matrix(key, n_per: int = 1 << 15,
                               batch, n_chunks)
         out[i:i + m_chunk] = np.asarray(sums, np.float64) / (batch * n_chunks)
     return out.reshape(169, 169)
+
+
+def _all_board_slots() -> np.ndarray:
+    """All C(48,5) = 1,712,304 board slot quintuples (int8 [M, 5])."""
+    import itertools
+
+    return np.fromiter(
+        itertools.chain.from_iterable(itertools.combinations(range(48), 5)),
+        dtype=np.int8).reshape(-1, 5)
+
+
+@partial(jax.jit, static_argnames=())
+def _pair_exact_scores(dead, hm, vm, board_slots):
+    """2*wins + ties over enumerated boards, vmapped over pairs.
+
+    ``dead``: [G, 4]; ``hm``/``vm``: [G][4] suit masks; ``board_slots``:
+    [NC, C, 5] int8 slot indices into the 48-card live deck, scanned over
+    the leading chunk axis inside the jit (pair-independent: the dead-card
+    shift maps slots to each pair's concrete cards)."""
+
+    def one(dead, hm, vm):
+        def chunk(acc, slots8):
+            cards = slots8.astype(I32)
+            for j in range(4):
+                cards = cards + (cards >= dead[j])
+            bm = suit_masks_from_cards(cards)
+            vh = eval_masks(*[m | h for m, h in zip(bm, hm)])
+            vv = eval_masks(*[m | v for m, v in zip(bm, vm)])
+            return acc + 2 * jnp.sum((vh > vv).astype(I32)) \
+                + jnp.sum((vh == vv).astype(I32)), None
+
+        total, _ = jax.lax.scan(chunk, jnp.zeros((), I32), board_slots)
+        return total
+
+    return jax.vmap(one, in_axes=(0, 0, 0))(dead, hm, vm)
+
+
+def matchup_equity_matrix_exact(m_chunk: int = 64,
+                                board_chunk: int = 1 << 17) -> np.ndarray:
+    """EXACT [169, 169] all-in equity matrix: every matchup enumerated over
+    all C(48,5) boards (no Monte Carlo noise). ~100 s on one TPU chip."""
+    _, hero, villain, _ = _representatives()
+    hh = np.repeat(np.arange(169), 169)
+    vv = np.tile(np.arange(169), 169)
+    heroes = hero[hh]
+    villains = villain[vv]
+    M = heroes.shape[0]
+
+    boards = _all_board_slots()
+    n_boards = boards.shape[0]
+    pad = (-n_boards) % board_chunk
+    if pad:  # pad with repeats of board 0; subtract their contribution
+        boards = np.concatenate([boards, np.tile(boards[:1], (pad, 1))])
+    boards3d = jnp.asarray(boards.reshape(-1, board_chunk, 5))
+    board0 = jnp.asarray(boards[:1].reshape(1, 1, 5))
+
+    dead_all = np.sort(np.concatenate([heroes, villains], axis=1), axis=1)
+    hm_all = np.stack(
+        [np.asarray(m) for m in suit_masks_from_cards(jnp.asarray(heroes))],
+        axis=1)
+    vm_all = np.stack(
+        [np.asarray(m) for m in suit_masks_from_cards(jnp.asarray(villains))],
+        axis=1)
+
+    scores = np.zeros((M,), np.int64)
+    for g in range(0, M, m_chunk):
+        dead = jnp.asarray(dead_all[g:g + m_chunk])
+        hm = [jnp.asarray(hm_all[g:g + m_chunk, s]) for s in range(4)]
+        vm = [jnp.asarray(vm_all[g:g + m_chunk, s]) for s in range(4)]
+        total = np.asarray(_pair_exact_scores(dead, hm, vm, boards3d),
+                           np.int64)
+        if pad:  # remove the padded duplicates of board 0
+            s0 = np.asarray(_pair_exact_scores(dead, hm, vm, board0),
+                            np.int64)
+            total -= s0 * pad
+        scores[g:g + m_chunk] = total
+    return (scores / (2.0 * n_boards)).reshape(169, 169)
 
 
 class PushFoldSolution(NamedTuple):

@@ -39,7 +39,7 @@ def _run_pallas(hero, villain, n):
         return time.perf_counter() - t0, w, t, m
 
     once(0)  # warmup/compile
-    best, w, t, m = min(once(i + 1) for i in range(3))
+    best, w, t, m = min(once(i + 1) for i in range(5))
     return best, w, t, m, "pallas"
 
 

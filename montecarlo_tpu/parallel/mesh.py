@@ -148,6 +148,54 @@ def equity_sweep(
     return eq, n
 
 
+def sharded_equity_pallas(
+    mesh: Mesh,
+    seed: int,
+    hero,
+    villain,
+    n_rollouts: int,
+    board=(),
+) -> EquityResult:
+    """The headline fused Pallas kernel composed with the mesh: each device
+    runs its share of kernel programs (distinct PRNG streams via the axis
+    index), and the two int32 counters psum over ICI. This is the v4-8
+    deployment shape of the north-star metric; on one chip it degenerates
+    to the single-kernel path. TPU-only (hardware PRNG primitives).
+    """
+    from montecarlo_tpu.ops.evaluator import suit_masks_from_cards
+    from montecarlo_tpu.ops.pallas_equity import TILE_N, equity_counts_pallas
+
+    n_dev = mesh.devices.size
+    hero = jnp.asarray(hero, I32)
+    villain = jnp.asarray(villain, I32)
+    board = jnp.asarray(board, I32).reshape(-1)
+    dead = jnp.sort(jnp.concatenate([hero, villain, board]))
+    bmask = (suit_masks_from_cards(board) if board.shape[0]
+             else [jnp.zeros((), I32)] * 4)
+    hm = jnp.stack([m | b for m, b in
+                    zip(suit_masks_from_cards(hero), bmask)])
+    vm = jnp.stack([m | b for m, b in
+                    zip(suit_masks_from_cards(villain), bmask)])
+    programs_per_dev = max(1, -(-n_rollouts // (TILE_N * n_dev)))
+
+    @jax.jit
+    def run(seed, dead, hm, vm):
+        def shard_fn(seed, dead, hm, vm):
+            dev_seed = seed[0] + jax.lax.axis_index(AXIS) * I32(0x9E3779)
+            w, t = equity_counts_pallas(dev_seed, dead, hm, vm,
+                                        programs_per_dev)
+            return (jax.lax.psum(w, AXIS), jax.lax.psum(t, AXIS))
+
+        return jax.shard_map(shard_fn, mesh=mesh,
+                             in_specs=(P(), P(), P(), P()), out_specs=P(),
+                             check_vma=False)(seed, dead, hm, vm)
+
+    w, t = run(jnp.asarray([seed], I32), dead, hm, vm)
+    n = programs_per_dev * TILE_N * n_dev
+    w, t = int(w), int(t)
+    return EquityResult(wins=w, ties=t, losses=n - w - t, n=n)
+
+
 def sharded_selfplay(
     mesh: Mesh,
     key,

@@ -52,6 +52,18 @@ def main() -> int:
         ok = lo < eq[i] < hi
         failures += 0 if ok else 1
         print(f"sweep {nm:4s} vs random = {eq[i]:.4f} [{'ok' if ok else 'FAIL'}]")
+    # Mesh-composed kernel (shard_map + psum around the Pallas kernel; one
+    # device here, but the v4-8 deployment shape).
+    from montecarlo_tpu.parallel.mesh import make_mesh, sharded_equity_pallas
+
+    mesh = make_mesh()
+    r = sharded_equity_pallas(mesh, 29, [make_card(H, 14), make_card(H, 13)],
+                              [make_card(D, 12), make_card(S, 12)], 2_000_000)
+    ok = abs(r.equity - 0.460) < 0.01
+    failures += 0 if ok else 1
+    print(f"mesh+kernel  equity={r.equity:.4f} devices={mesh.devices.size} "
+          f"[{'ok' if ok else 'FAIL'}]")
+
     # Partial-board kernel vs the exact enumerator (990 flop completions).
     from montecarlo_tpu.rollout.equity import equity_exact
 

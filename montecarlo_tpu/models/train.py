@@ -15,6 +15,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from montecarlo_tpu.engine.bets import needed_bet
 from montecarlo_tpu.engine.state import TableConfig, init_state
 from montecarlo_tpu.engine.step import (
     _pick,
@@ -52,8 +53,9 @@ def _play_hand_collect(params, state, key, learner_pos, opponent,
 
         feats = state_features(st)
         logits = policy_logits(params, feats)
-        free = jnp.sum(jnp.where(
-            jnp.arange(st.bets.capacity) < st.bets.count, st.bets.amt, 0)) == 0
+        # Same fold mask as net_policy (policy_net.py): folding is masked
+        # exactly when the actor owes nothing — train/eval distributions match.
+        free = needed_bet(st.bets, seat) == 0
         logits = logits.at[0].add(jnp.where(free, -1e9, 0.0))
         idx = jax.random.categorical(k_net, logits)
         logprob = jax.nn.log_softmax(logits)[idx]
@@ -64,8 +66,9 @@ def _play_hand_collect(params, state, key, learner_pos, opponent,
             st, jnp.where(is_learner, learner_action, opp_action))
         prev_stage = st.stage
         nxt = step_action(st, action, rules=rules)
+        applied_raise = (action > 0) & ~st.hand_over
         street_raises = jnp.where(nxt.stage != prev_stage, 0,
-                                  street_raises + (action > 0) & ~st.hand_over)
+                                  street_raises + applied_raise)
         return (nxt, lp + jnp.where(is_learner, logprob, 0.0),
                 street_raises), None
 

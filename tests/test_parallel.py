@@ -64,6 +64,30 @@ def test_graft_entry_dryrun():
     assert int(out.time.sum()) > 0
 
 
+def test_graft_entry_dryrun_fresh_subprocess():
+    """The driver's real contract: a fresh process WITHOUT conftest's env.
+
+    The entry must self-provision the 8-device virtual CPU mesh even when
+    the process's default backend (e.g. the sitecustomize-registered axon
+    TPU with one chip) has already initialized. Regression for
+    MULTICHIP_r01.json rc=1.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.devices();"  # force default-backend init first
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
+
+
 def test_dp_train_step_on_mesh():
     from montecarlo_tpu.models.policy_net import init_params
     from montecarlo_tpu.parallel.train_dp import make_dp_train_step

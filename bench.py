@@ -1,13 +1,16 @@
-"""Benchmark: full-hand Monte Carlo rollout throughput on one chip.
+"""Benchmark: Monte Carlo rollout + betting-engine throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-The reference publishes no numbers (README.md:9 aspires to "reasonably
-performant"; BASELINE.json published == {}), so vs_baseline is measured
-against the BASELINE.json north-star target of 1e8 full-hand rollouts/sec
-(value / 1e8). One rollout = deal a random 5-card board from the live deck,
-rank both 7-card hands with the bitmask evaluator, compare, and reduce —
-the hot path of the equity API (BASELINE configs 3/5).
+The headline metric is equity rollouts/sec (one rollout = deal a random
+5-card board from the live deck, rank both 7-card hands with the bitmask
+evaluator, compare, reduce — the hot path of the equity API, BASELINE
+configs 3/5). The same line also reports ``betting_hands_per_sec``: full
+betting hands (blinds -> betting rounds -> showdown -> payout) through the
+vmapped engine (``rollout/selfplay.py``), so the two throughput axes are
+unambiguous. The reference publishes no numbers (README.md:9 aspires to
+"reasonably performant"; BASELINE.json published == {}), so vs_baseline is
+measured against the BASELINE.json north-star target of 1e8 rollouts/sec.
 
 Extra diagnostics go to stderr; the stdout contract stays one line.
 """
@@ -59,10 +62,30 @@ def _run_xla(hero, villain, n):
     return best, w, t, m, "xla"
 
 
+def _run_selfplay(n_tables=1 << 20, num_hands=1):
+    """Full betting hands/sec through the vmapped engine (config 4)."""
+    from montecarlo_tpu.engine.state import TableConfig
+    from montecarlo_tpu.rollout.selfplay import play_hands
+
+    cfg = TableConfig(num_seats=6)
+
+    def once(seed):
+        keys = jax.random.split(jax.random.key(seed), n_tables)
+        t0 = time.perf_counter()
+        final = play_hands(keys, cfg, num_hands=num_hands)
+        done = int(final.time.sum())  # host round-trip = tunnel sync
+        assert done > 0
+        return time.perf_counter() - t0
+
+    once(0)  # warmup/compile
+    best = min(once(i + 1) for i in range(3))
+    return n_tables * num_hands / best
+
+
 def main():
     hero = jnp.array([make_card(0, 14), make_card(0, 13)], jnp.int32)    # AKs
     villain = jnp.array([make_card(1, 12), make_card(2, 12)], jnp.int32)  # QQ
-    n = 1 << 29
+    n = 1 << 30  # ~0.24 s/run hot: large enough to amortize launch overhead
 
     try:
         best, w, t, m, backend = _run_pallas(hero, villain, n)
@@ -71,6 +94,13 @@ def main():
               file=sys.stderr)
         best, w, t, m, backend = _run_xla(hero, villain, n)
     n = m
+
+    try:
+        hands_per_sec = _run_selfplay()
+    except Exception as e:
+        print(f"selfplay bench failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        hands_per_sec = None
 
     rate = n / best
     print(json.dumps({
@@ -81,10 +111,11 @@ def main():
         "equity_AKs_vs_QQ": (int(w) + 0.5 * int(t)) / n,
     }), file=sys.stderr)
     print(json.dumps({
-        "metric": "full_hand_rollouts_per_sec",
+        "metric": "equity_rollouts_per_sec",
         "value": rate,
         "unit": "rollouts/s",
         "vs_baseline": rate / NORTH_STAR,
+        "betting_hands_per_sec": hands_per_sec,
     }))
 
 

@@ -7,15 +7,19 @@ end-to-end validation target for the whole stack: the 169x169 all-in
 matchup equity matrix comes from the batched rollout engine, and the
 equilibrium from damped best-response iteration (fictitious play).
 
-Two matrix backends: ``matchup_equity_matrix`` (Monte Carlo) and
-``matchup_equity_matrix_exact`` (every matchup enumerated over all C(48,5)
-boards — 4.9e10 evaluations, ~160 s on one chip, zero noise).
-
-Approximations (documented, adequate for ~1pp range accuracy):
-- each canonical hand is represented by one combo (hero hearts/diamonds,
-  villain spades/clubs, so representatives never collide);
-- card-removal effects between the two hands' combo counts are ignored
-  (weights are the unconditional 6/4/12 combo counts).
+Three matrix backends:
+- ``matchup_equity_matrix`` (Monte Carlo, single representatives);
+- ``matchup_equity_matrix_exact`` (every matchup enumerated over all
+  C(48,5) boards — 4.9e10 evaluations, ~160 s on one chip, zero noise;
+  single representatives, so suit interactions within a class are averaged
+  only approximately and card-removal combo counts are unconditional);
+- ``matchup_equity_matrix_cr`` + ``matchup_pair_counts``
+  (card-removal-CORRECT: hero = one representative per class — WLOG by
+  suit symmetry — versus every one of the villain's 1326 combos, all
+  boards enumerated per disjoint pair; class equities are the true
+  combo-weighted averages and ``n_pairs`` gives the conditional combo
+  counts). ``solve_push_fold_cr`` consumes these for an equilibrium with
+  no removal approximation.
 """
 
 from __future__ import annotations
@@ -187,6 +191,84 @@ def matchup_equity_matrix_exact(m_chunk: int = 64,
     return (scores / (2.0 * n_boards)).reshape(169, 169)
 
 
+def _all_combos():
+    """All 1326 hole combos with their canonical-class index.
+
+    Returns (combos [1326, 2] int32, cls [1326] int32 indexing the 169
+    canonical hands in ``canonical_hands()`` order).
+    """
+    labels = [l for l, _ in canonical_hands()]
+    idx = {l: i for i, l in enumerate(labels)}
+    names = "23456789TJQKA"
+    combos, cls = [], []
+    for c1 in range(52):
+        for c2 in range(c1 + 1, 52):
+            s1, r1 = c1 // 13, 2 + c1 % 13
+            s2, r2 = c2 // 13, 2 + c2 % 13
+            if r1 < r2:
+                (s1, r1), (s2, r2) = (s2, r2), (s1, r1)
+            if r1 == r2:
+                label = names[r1 - 2] * 2
+            else:
+                label = (names[r1 - 2] + names[r2 - 2]
+                         + ("s" if s1 == s2 else "o"))
+            combos.append((make_card(s1, r1), make_card(s2, r2)))
+            cls.append(idx[label])
+    return np.array(combos, np.int32), np.array(cls, np.int32)
+
+
+def matchup_pair_counts() -> np.ndarray:
+    """[169, 169] card-removal-correct pair counts:
+    ``n_pairs[a, b] = combos(a) * #(villain combos of class b disjoint from
+    one fixed hero-a combo)`` — by suit symmetry the inner count is the
+    same for every hero-a combo, so this equals the number of (hero combo,
+    villain combo) deals of classes (a, b). Rows sum to
+    ``combos(a) * C(50, 2) = combos(a) * 1225``.
+    """
+    _, hero_reps, _, w = _representatives()
+    combos, cls = _all_combos()
+    n = np.zeros((169, 169), np.int64)
+    for a in range(169):
+        rep = set(hero_reps[a].tolist())
+        disj = ~np.array([bool(rep & set(c)) for c in combos.tolist()])
+        np.add.at(n[a], cls[disj], 1)
+    return n * w[:, None].astype(np.int64)
+
+
+def matchup_equity_matrix_cr(elem_budget: int = 1 << 27,
+                             progress: bool = False):
+    """Card-removal-correct EXACT [169, 169] class equity matrix.
+
+    For each hero class one representative combo (WLOG: the villain side
+    enumerates all 1326 combos, so suit relabeling maps any hero combo onto
+    the representative) is matched against every disjoint villain combo
+    over every C(48, 5) board. Entry [a, b] is hero-a's equity averaged
+    over villain-b combos with true conditional weights.
+
+    Returns (eq_cr [169, 169] float64, n_pairs [169, 169] int64).
+    ~2.3e12 device comparisons — minutes on a TPU chip; use the committed
+    artifact (``data/pushfold_eq169_cr.npz``) rather than rebuilding.
+    """
+    from montecarlo_tpu.rollout.equity import equity_exact_range_vs_range
+
+    _, hero_reps, _, _ = _representatives()
+    combos, cls = _all_combos()
+    res = equity_exact_range_vs_range(hero_reps, combos,
+                                      elem_budget=elem_budget)
+    # Class-aggregate the [169, 1326] pair results with equal weight per
+    # surviving combo pair (pair_weight is 1 where disjoint, 0 otherwise).
+    w = res.pair_weight                      # [169, 1326]
+    pe = np.where(w > 0, res.pair_equity, 0.0)
+    eq = np.zeros((169, 169), np.float64)
+    cnt = np.zeros((169, 169), np.float64)
+    for b in range(169):
+        sel = cls == b
+        eq[:, b] = (pe[:, sel] * w[:, sel]).sum(axis=1)
+        cnt[:, b] = w[:, sel].sum(axis=1)
+    eq = eq / np.maximum(cnt, 1e-12)
+    return eq, matchup_pair_counts()
+
+
 class PushFoldSolution(NamedTuple):
     labels: list
     jam: np.ndarray         # [169] SB jam probability
@@ -238,6 +320,45 @@ def solve_push_fold(eq: np.ndarray, stack_bb: float,
         # SB best response to call: jam iff EV(jam) > EV(fold) = -0.5.
         ev_jam = ((1 - call[None, :]) * 1.0
                   + call[None, :] * (2 * S * eq - S)) @ w
+        br_jam = (ev_jam > -0.5).astype(float)
+        jam = (1 - damping) * jam + damping * br_jam
+        call = (1 - damping) * call + damping * br_call
+    return PushFoldSolution(labels=labels, jam=jam, call=call, stack_bb=S)
+
+
+def solve_push_fold_cr(eq_cr: np.ndarray, n_pairs: np.ndarray,
+                       stack_bb: float, iters: int = 2000,
+                       damping: float = 0.05) -> PushFoldSolution:
+    """Fictitious play with card-removal-correct combo weighting.
+
+    ``eq_cr``/``n_pairs`` from ``matchup_equity_matrix_cr`` (or the
+    committed ``data/pushfold_eq169_cr.npz``). Where ``solve_push_fold``
+    weights opposing classes by unconditional combo counts, here the
+    opponent-class distribution conditions on the player's own two cards:
+    ``P(villain class b | hero class a) = n_pairs[a, b] / (combos(a)*1225)``
+    and Bayes inverts through the same pair counts for the caller.
+    """
+    labels, _, _, _ = _representatives()
+    S = float(stack_bb)
+    # P(BB class b | SB class a): conditional on SB's two cards removed.
+    p_b_given_a = n_pairs / n_pairs.sum(axis=1, keepdims=True)
+
+    jam = np.full(169, 0.5)
+    call = np.full(169, 0.5)
+    for _ in range(iters):
+        # BB best response: P(SB class a | BB class b, SB jams) ∝
+        # jam[a] * n_pairs[a, b] (n_pairs is the joint deal count).
+        post = jam[:, None] * n_pairs  # [a, b]
+        mass = post.sum(axis=0)
+        ev_call = np.where(
+            mass > 0,
+            (2 * S * ((1.0 - eq_cr) * post).sum(axis=0) / np.maximum(mass, 1e-300)) - S,
+            -np.inf)
+        br_call = (ev_call > -1.0).astype(float)
+        # SB best response under conditional villain-class weights.
+        ev_jam = (p_b_given_a
+                  * ((1 - call[None, :]) * 1.0
+                     + call[None, :] * (2 * S * eq_cr - S))).sum(axis=1)
         br_jam = (ev_jam > -0.5).astype(float)
         jam = (1 - damping) * jam + damping * br_jam
         call = (1 - damping) * call + damping * br_call

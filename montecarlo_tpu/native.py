@@ -53,6 +53,8 @@ def _load():
     lib.mc_table_act.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.mc_table_act_raw.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.mc_table_settle.argtypes = [ctypes.c_void_p]
+    lib.mc_table_set_stacks.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_int32)]
     lib.mc_table_snapshot.restype = ctypes.c_int32
     lib.mc_table_snapshot.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_int32),
@@ -125,6 +127,14 @@ class NativeTable:
 
     def settle(self):
         self._lib.mc_table_settle(self._ptr)
+
+    def set_stacks(self, stacks: Sequence[int]):
+        """Overwrite live spendable stacks (hand-order space) — the global
+        per-player stack-ref semantics of database.clj:8-12."""
+        s = _i32(stacks)
+        assert s.shape == (self.n,)
+        self._lib.mc_table_set_stacks(
+            self._ptr, s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
 
     def snapshot(self) -> dict:
         buf = np.zeros((4096,), dtype=np.int32)

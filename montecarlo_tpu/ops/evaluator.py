@@ -168,7 +168,105 @@ def eval_masks_impl(m0, m1, m2, m3):
     return _pack(cat, ranks)
 
 
+def _keep_top(mask, n, max_clears):
+    """Clear lowest set bits until at most ``n`` remain.
+
+    ``max_clears`` bounds the unrolled loop (callers know the maximum
+    popcount their category guarantees). For two masks with exactly ``n``
+    bits set, numeric comparison of the results equals descending
+    lexicographic comparison of the bit positions — the standard
+    equal-cardinality set-compare isomorphism.
+    """
+    for _ in range(max_clears):
+        mask = jnp.where(jax.lax.population_count(mask) > n,
+                         mask & (mask - 1), mask)
+    return mask
+
+
+def eval_masks_cmp_impl(m0, m1, m2, m3):
+    """Order-isomorphic fast hand key (comparison-only; NOT the packed
+    reference format).
+
+    Produces an int32 key whose ``<``/``==`` relations on any two 7-card
+    hands are identical to those of ``eval_masks_impl``'s reference-packed
+    keys (property-tested in ``tests/test_evaluator.py``), at ~60% of the
+    op count: category payloads are kept as rank *bitmasks* (bits 2..14)
+    instead of extracting five 4-bit ranks, exploiting that comparing
+    equal-size rank sets as integers == comparing them lexicographically.
+    Used inside the Pallas equity kernels, where keys are only compared.
+
+    Layout: ``key = cat << 19 | payload`` with payloads:
+        straight flush: top rank                      (4 bits)
+        quads:          q << 4 | kicker               (8 bits)
+        full house:     t << 4 | p                    (8 bits)
+        flush:          top-5 bits of the flush suit  (15 bits)
+        straight:       top rank                      (4 bits)
+        trips:          t << 15 | top-2 kicker bits   (19 bits)
+        two pair:       top-2 pair bits << 4 | kicker (19 bits)
+        pair:           p << 15 | top-3 kicker bits   (19 bits)
+        high:           top-5 bits of present         (15 bits)
+    Max 23 bits: int32 order == uint32 order (Mosaic-safe).
+    """
+    present = m0 | m1 | m2 | m3
+
+    c2p = (m0 & m1) | (m0 & m2) | (m0 & m3) | (m1 & m2) | (m1 & m3) | (m2 & m3)
+    c3p = (m0 & m1 & m2) | (m0 & m1 & m3) | (m0 & m2 & m3) | (m1 & m2 & m3)
+    c4 = m0 & m1 & m2 & m3
+    trips = c3p & ~c4
+    pairs = c2p & ~c3p
+
+    straight_top = _run5_top(present)
+    has_straight = straight_top >= 0
+
+    fmask = jnp.zeros_like(m0)
+    for m in (m0, m1, m2, m3):
+        fmask = fmask | jnp.where(jax.lax.population_count(m) >= 5, m, 0)
+    has_flush = fmask != 0
+    sf_top = _run5_top(fmask)
+    has_sf = sf_top >= 0
+
+    has_quads = c4 != 0
+    has_fh = (trips != 0) & ((pairs != 0) |
+                             (jax.lax.population_count(trips) >= 2))
+    has_trips = trips != 0
+    has_two_pair = jax.lax.population_count(pairs) >= 2
+    has_pair = pairs != 0
+
+    q = jnp.maximum(_msb(c4), 0)
+    qk = jnp.maximum(_msb(present & ~_bit(q)), 0)
+
+    t_fh = jnp.maximum(_msb(trips), 0)
+    p_fh = jnp.maximum(_msb((trips | pairs) & ~_bit(t_fh)), 0)
+
+    # trips category: one trip + 4 singles -> present has 5 distinct ranks.
+    trips_kick = _keep_top(present & ~_bit(t_fh), 2, 2)
+
+    top2_pairs = _keep_top(pairs, 2, 1)  # at most 3 pair ranks in 7 cards
+    tp_kick = jnp.maximum(_msb(present & ~top2_pairs), 0)
+
+    p1 = jnp.maximum(_msb(pairs), 0)
+    # pair category: one pair + 5 singles -> 5 ranks left after the pair.
+    pair_kick = _keep_top(present & ~_bit(p1), 3, 2)
+
+    table = [
+        (has_sf, hv.CAT_STRAIGHT_FLUSH, jnp.maximum(sf_top, 0)),
+        (has_quads, hv.CAT_QUADS, jnp.left_shift(q, 4) | qk),
+        (has_fh, hv.CAT_FULL_HOUSE, jnp.left_shift(t_fh, 4) | p_fh),
+        (has_flush, hv.CAT_FLUSH, _keep_top(fmask, 5, 2)),
+        (has_straight, hv.CAT_STRAIGHT, jnp.maximum(straight_top, 0)),
+        (has_trips, hv.CAT_TRIPS, jnp.left_shift(t_fh, 15) | trips_kick),
+        (has_two_pair, hv.CAT_TWO_PAIR,
+         jnp.left_shift(top2_pairs, 4) | tp_kick),
+        (has_pair, hv.CAT_PAIR, jnp.left_shift(p1, 15) | pair_kick),
+    ]
+    key = _keep_top(present, 5, 2)  # high card
+    for cond, c, payload in reversed(table):
+        key = jnp.where(cond, jnp.left_shift(I32(c), 19) | payload, key)
+    return key
+
+
 eval_masks = jax.jit(eval_masks_impl)
+eval_masks_cmp = jax.jit(eval_masks_cmp_impl)
 
 
 @jax.jit

@@ -13,10 +13,16 @@ per-showdown combinatorial evaluation (``hand_evaluator.clj:162-172``),
 fused with sampling so the whole Monte Carlo rollout is one VPU program.
 
 RNG note: per-program streams come from ``pltpu.prng_seed(seed + program
-id)``; bounded draws use a 32-bit modulo, whose bias at bound <= 48 is
-~1.1e-8 per draw — five orders of magnitude below Monte Carlo noise at any
-practical rollout count (the XLA path uses unbiased ``jax.random`` draws;
-agreement is asserted in tests).
+id)``; bounded draws use one 32-bit hardware word per card and a modulo,
+whose bias at bound <= 50 is ~1.2e-8 per draw — five orders of magnitude
+below Monte Carlo noise at any practical rollout count (the XLA path uses
+unbiased ``jax.random`` draws; agreement is asserted on hardware in
+``scripts/validate_tpu.py``). Exactly-uniform alternatives were built and
+MEASURED on a v5e (scripts/bench_kernel_variants.py, PERF.md): vectorized
+rejection via ``while_loop`` costs 23% throughput and a fallback-word
+select 27%, so the documented epsilon bias is the deliberate trade. The
+hardware PRNG itself is cheap — two-draws-per-word extraction saved
+nothing (u32 divides cost more than fresh words).
 """
 
 from __future__ import annotations
@@ -28,13 +34,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from montecarlo_tpu.ops.evaluator import eval_masks_impl
+from montecarlo_tpu.ops.evaluator import eval_masks_cmp_impl
 
 I32 = jnp.int32
 
-# Rollouts per kernel program: 64 sublanes x 128 lanes.
-TILE = (64, 128)
+# Rollouts per kernel program: 128 sublanes x 128 lanes (swept on v5e:
+# (128,128) 4.53 G/s vs (64,128) 3.99 — bigger tiles amortize the
+# per-program prng_seed + counter update; (256,128) regresses).
+TILE = (128, 128)
 TILE_N = TILE[0] * TILE[1]
+
+# int32 win/tie counters: max sequential programs per launch before the
+# worst-case accumulation (every rollout a win) could wrap.
+MAX_PROGRAMS_PER_LAUNCH = (2**31 - 1) // TILE_N
+
+
+def _uniform_draws(shape, bounds):
+    """Draws ``d_i ~ U[0, bounds_i)``: one hardware word + modulo each.
+
+    Per-draw bias is ``bound / 2^32`` (~1.2e-8) — see the module docstring
+    for the measured cost of the exact alternatives this replaces.
+    """
+    return [
+        (pltpu.prng_random_bits(shape).astype(jnp.uint32)
+         % jnp.uint32(b)).astype(I32)
+        for b in bounds
+    ]
 
 
 def _sample_cards(dead, shape, k):
@@ -46,11 +71,11 @@ def _sample_cards(dead, shape, k):
     rank-shifts past the dead cards.
     """
     n_live = 52 - len(dead)
+    draws = _uniform_draws(shape, [n_live - t for t in range(k)])
     sorted_chosen = []
     cards = []
     for t in range(k):
-        bits = pltpu.prng_random_bits(shape)
-        x = (bits.astype(jnp.uint32) % jnp.uint32(n_live - t)).astype(I32)
+        x = draws[t]
         for c in sorted_chosen:
             x = x + (x >= c).astype(I32)
         # maintain the ascending chosen list
@@ -69,14 +94,27 @@ def _sample_cards(dead, shape, k):
 
 
 def _masks_of(cards, shape):
-    """Four suit masks from a list of tile-shaped card-id arrays."""
-    masks = [jnp.zeros(shape, I32) for _ in range(4)]
+    """Four suit masks from a list of tile-shaped card-id arrays.
+
+    Packed construction (measured +15% kernel throughput): two suits per
+    int32 plane — suits 0/1 in bits 2..14 / 18..30 of plane A, suits 2/3
+    likewise in plane B — so each card needs one select pair instead of
+    four, and ``card // 13`` is the exact 2-op ``(card * 5) >> 6`` for
+    ids < 64. Unpacked to the four 15-bit masks once at the end.
+    """
+    pa = jnp.zeros(shape, I32)
+    pb = jnp.zeros(shape, I32)
+    one = jnp.ones(shape, I32)
     for card in cards:
-        suit = card // 13
-        bit = jnp.left_shift(I32(1), 2 + card % 13)
-        for s in range(4):
-            masks[s] = masks[s] | jnp.where(suit == s, bit, 0)
-    return masks
+        suit = jnp.right_shift(card * 5, 6)
+        p = (card - 13 * suit + 2) | jnp.left_shift(suit & 1, 4)
+        bitv = jnp.left_shift(one, p)
+        hi = suit > 1
+        pa = pa | jnp.where(hi, 0, bitv)
+        pb = pb | jnp.where(hi, bitv, 0)
+    mask15 = (1 << 15) - 1
+    return [pa & mask15, jnp.right_shift(pa, 16) & mask15,
+            pb & mask15, jnp.right_shift(pb, 16) & mask15]
 
 
 def _sample_board_masks(dead, shape):
@@ -96,8 +134,10 @@ def _make_equity_kernel(n_dead: int, n_draw: int):
         pltpu.prng_seed(seed_ref[0] + i)
         dead = [dead_ref[j] for j in range(n_dead)]
         bm = _masks_of(_sample_cards(dead, TILE, n_draw), TILE)
-        vh = eval_masks_impl(*[m | hmask_ref[s] for s, m in enumerate(bm)])
-        vv = eval_masks_impl(*[m | vmask_ref[s] for s, m in enumerate(bm)])
+        vh = eval_masks_cmp_impl(*[m | hmask_ref[s]
+                                   for s, m in enumerate(bm)])
+        vv = eval_masks_cmp_impl(*[m | vmask_ref[s]
+                                   for s, m in enumerate(bm)])
         wins_ref[0, 0] += jnp.sum((vh > vv).astype(I32))
         ties_ref[0, 0] += jnp.sum((vh == vv).astype(I32))
 
@@ -114,6 +154,10 @@ def equity_counts_pallas(seed, dead, hero_masks, villain_masks,
     ``*_masks``); ``*_masks``: int32[4] per side. Draws ``5 - (D - 4)``
     board cards per rollout.
     """
+    assert n_programs <= MAX_PROGRAMS_PER_LAUNCH, (
+        f"{n_programs} programs x {TILE_N} rollouts would overflow the "
+        f"int32 counters; chunk into launches of <= "
+        f"{MAX_PROGRAMS_PER_LAUNCH} (equity_vs_hand_pallas does this)")
     n_dead = dead.shape[0]
     n_draw = 5 - (n_dead - 4)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -155,8 +199,8 @@ def _sweep_kernel(seed_ref, dead_ref, hmask_ref, wins_ref, ties_ref):
     cards = _sample_cards(dead, TILE, 7)
     vm = _masks_of(cards[:2], TILE)
     bm = _masks_of(cards[2:], TILE)
-    vh = eval_masks_impl(*[b | hmask_ref[h, s] for s, b in enumerate(bm)])
-    vv = eval_masks_impl(*[b | v for b, v in zip(bm, vm)])
+    vh = eval_masks_cmp_impl(*[b | hmask_ref[h, s] for s, b in enumerate(bm)])
+    vv = eval_masks_cmp_impl(*[b | v for b, v in zip(bm, vm)])
     wins_ref[h] += jnp.sum((vh > vv).astype(I32))
     ties_ref[h] += jnp.sum((vh == vv).astype(I32))
 
@@ -169,6 +213,10 @@ def sweep_counts_pallas(seed, dead, hero_masks, n_chunks: int,
     ``dead``: int32[H, 2] each hero's (ascending) hole cards;
     ``hero_masks``: int32[H, 4] suit masks of those holes.
     """
+    assert n_chunks <= MAX_PROGRAMS_PER_LAUNCH, (
+        f"{n_chunks} chunks x {TILE_N} rollouts/hand would overflow the "
+        f"per-hand int32 counters; chunk into launches of <= "
+        f"{MAX_PROGRAMS_PER_LAUNCH} (equity_sweep_pallas does this)")
     H = dead.shape[0]
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     wins, ties = pl.pallas_call(
@@ -200,10 +248,20 @@ def equity_sweep_pallas(seed: int, heroes, n_rollouts_per_hand: int,
     heroes = jnp.asarray(heroes, I32)
     dead = jnp.sort(heroes, axis=1)
     hm = jnp.stack(suit_masks_from_cards(heroes), axis=1)  # [H, 4]
-    n_chunks = max(1, -(-n_rollouts_per_hand // TILE_N))
-    w, t = sweep_counts_pallas(seed, dead, hm, n_chunks, interpret=interpret)
-    n = n_chunks * TILE_N
-    eq = (np.asarray(w, np.float64) + 0.5 * np.asarray(t, np.float64)) / n
+    n_chunks_total = max(1, -(-n_rollouts_per_hand // TILE_N))
+    w = np.zeros((heroes.shape[0],), np.float64)
+    t = np.zeros((heroes.shape[0],), np.float64)
+    n = 0
+    # int32 headroom: split into launches of at most MAX_PROGRAMS_PER_LAUNCH
+    # sequential chunks per hand (one launch in any practical sweep).
+    for start in range(0, n_chunks_total, MAX_PROGRAMS_PER_LAUNCH):
+        n_chunks = min(MAX_PROGRAMS_PER_LAUNCH, n_chunks_total - start)
+        wi, ti = sweep_counts_pallas(seed + 7919 * start, dead, hm, n_chunks,
+                                     interpret=interpret)
+        w += np.asarray(wi, np.float64)
+        t += np.asarray(ti, np.float64)
+        n += n_chunks * TILE_N
+    eq = (w + 0.5 * t) / n
     return eq, n
 
 
@@ -219,11 +277,11 @@ def _make_multiway_kernel(n_hands: int, n_dead: int, n_draw: int, scale: int):
         pltpu.prng_seed(seed_ref[0] + i)
         dead = [dead_ref[j] for j in range(n_dead)]
         bm = _masks_of(_sample_cards(dead, TILE, n_draw), TILE)
-        # Packed keys fit in 23 bits: int32 order == uint32 order (Mosaic
-        # has no unsigned vector max).
+        # Comparison keys fit in 23 bits: int32 order == uint32 order
+        # (Mosaic has no unsigned vector max).
         values = [
-            eval_masks_impl(*[m | hmask_ref[h, s] for s, m in enumerate(bm)])
-            .astype(I32)
+            eval_masks_cmp_impl(*[m | hmask_ref[h, s]
+                                  for s, m in enumerate(bm)])
             for h in range(n_hands)
         ]
         vmax = values[0]
@@ -308,7 +366,13 @@ def equity_vs_hand_pallas(seed: int, hero, villain, n_rollouts: int,
                     zip(suit_masks_from_cards(hero), bmask)])
     vm = jnp.stack([m | b for m, b in
                     zip(suit_masks_from_cards(villain), bmask)])
-    n_programs = max(1, -(-n_rollouts // TILE_N))
-    w, t = equity_counts_pallas(seed, dead, hm, vm, n_programs,
-                                interpret=interpret)
-    return int(w), int(t), n_programs * TILE_N
+    n_programs_total = max(1, -(-n_rollouts // TILE_N))
+    w = t = n = 0
+    # int32 headroom: split into launches of <= MAX_PROGRAMS_PER_LAUNCH
+    # programs (~2.1e9 rollouts) each.
+    for start in range(0, n_programs_total, MAX_PROGRAMS_PER_LAUNCH):
+        n_programs = min(MAX_PROGRAMS_PER_LAUNCH, n_programs_total - start)
+        wi, ti = equity_counts_pallas(seed + 7919 * start, dead, hm, vm,
+                                      n_programs, interpret=interpret)
+        w, t, n = w + int(wi), t + int(ti), n + n_programs * TILE_N
+    return w, t, n

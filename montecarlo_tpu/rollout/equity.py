@@ -428,6 +428,168 @@ def equity_exact(hero: Sequence[int], villain: Sequence[int],
     return EquityResult(wins=wins, ties=ties, losses=n - wins - ties, n=n)
 
 
+class RangeEquityResult(NamedTuple):
+    """Exact weighted range-vs-range equity (no Monte Carlo error).
+
+    ``equity`` is hero's share counting ties as half, averaged over combo
+    pairs with card-removal-correct weights (overlapping pairs excluded).
+    ``pair_equity[H, V]`` / ``pair_weight[H, V]`` expose the per-combo-pair
+    breakdown (weight 0 where combos collide); ``n_boards`` is the exact
+    number of board completions enumerated per pair.
+    """
+    equity: float
+    pair_equity: np.ndarray   # [H, V] float64 (NaN where weight == 0)
+    pair_weight: np.ndarray   # [H, V] float64
+    n_boards: int
+
+
+@partial(jax.jit, static_argnames=())
+def _range_pair_counts(board_chunk, valid_chunk, hmasks, vmasks):
+    """Per-combo-pair (wins, ties, hero-vs-board validity) over one board
+    chunk: [B, 5-ish] boards x [H] hero combos x [V] villain combos.
+
+    Everything is broadcast elementwise (no gathers): validity of a
+    (combo, board) pairing is an empty suit-mask intersection, so boards
+    containing a combo's cards are masked out rather than re-enumerated per
+    pair — every pair sees the same exact C(48-K, 5-K) live completions.
+    """
+    bm = suit_masks_from_cards(board_chunk)                  # 4 x [B]
+    hm = [m[None, :] for m in hmasks]                        # 4 x [1, H]
+    vm = [m[None, :] for m in vmasks]                        # 4 x [1, V]
+    b_ = [m[:, None] for m in bm]                            # 4 x [B, 1]
+
+    def _no_overlap(combo_masks):
+        inter = jnp.zeros((), I32)
+        for b, c in zip(b_, combo_masks):
+            inter = inter | (b & c)
+        return inter == 0
+
+    ok_h = _no_overlap(hm)                                   # [B, H]
+    ok_v = _no_overlap(vm)                                   # [B, V]
+    kh = eval_masks(*[b | h for b, h in zip(b_, hm)])        # [B, H]
+    kv = eval_masks(*[b | v for b, v in zip(b_, vm)])        # [B, V]
+    val = (ok_h[:, :, None] & ok_v[:, None, :]
+           & valid_chunk[:, None, None])                     # [B, H, V]
+    gt = kh[:, :, None] > kv[:, None, :]
+    eq = kh[:, :, None] == kv[:, None, :]
+    wins = jnp.sum((gt & val).astype(I32), axis=0)           # [H, V]
+    ties = jnp.sum((eq & val).astype(I32), axis=0)
+    return wins, ties
+
+
+def _enumerate_boards(fixed: np.ndarray, elem_budget: int, hv: int):
+    """All 5-card completions of ``fixed`` from the full remaining deck,
+    chunked+padded; yields (boards[B, 5], valid[B]) numpy chunks."""
+    import itertools
+
+    K = fixed.shape[0]
+    live = np.array(sorted(set(range(NUM_CARDS)) - set(fixed.tolist())),
+                    dtype=np.int32)
+    draws = np.fromiter(
+        itertools.chain.from_iterable(
+            itertools.combinations(range(live.shape[0]), 5 - K)),
+        dtype=np.int32).reshape(-1, 5 - K)
+    boards = live[draws]
+    if K:
+        boards = np.concatenate(
+            [np.tile(fixed, (boards.shape[0], 1)), boards], axis=1)
+    n = boards.shape[0]
+    chunk = max(256, min(n, elem_budget // max(hv, 1)))
+    pad = (-n) % chunk
+    if pad:
+        boards = np.concatenate([boards, np.tile(boards[:1], (pad, 1))])
+    valid = np.arange(boards.shape[0]) < n
+    for i in range(0, boards.shape[0], chunk):
+        yield boards[i:i + chunk], valid[i:i + chunk]
+
+
+def equity_exact_range_vs_range(
+    hero_range,
+    villain_range,
+    hero_weights=None,
+    villain_weights=None,
+    board: Sequence[int] = (),
+    elem_budget: int = 1 << 24,
+) -> RangeEquityResult:
+    """EXACT weighted range-vs-range equity by combo-pair enumeration.
+
+    For every (hero combo, villain combo) pair that shares no card (and
+    collides with neither the fixed ``board``), every remaining board
+    completion is enumerated and both 7-card hands ranked — the
+    card-removal-correct generalization of ``equity_exact``, the capability
+    the reference's showdown evaluator (``hand_evaluator.clj:162-172``)
+    could never reach at scale. Pair weights are ``w_h * w_v`` (weights
+    per combo, default 1), zeroed for colliding pairs; the aggregate equity
+    renormalizes over surviving pairs.
+
+    Cost: one shared exact board sweep — C(52-K, 5-K) boards x H x V
+    comparisons — NOT a per-pair re-enumeration; per-pair validity is a
+    suit-mask intersection test.
+    """
+    hero_range = np.asarray(hero_range, np.int32).reshape(-1, 2)
+    villain_range = np.asarray(villain_range, np.int32).reshape(-1, 2)
+    fixed = np.asarray(board, np.int32).reshape(-1)
+    _check_disjoint(fixed)
+    K = fixed.shape[0]
+    H, V = hero_range.shape[0], villain_range.shape[0]
+    wh = (np.ones(H) if hero_weights is None
+          else np.asarray(hero_weights, np.float64))
+    wv = (np.ones(V) if villain_weights is None
+          else np.asarray(villain_weights, np.float64))
+    assert wh.shape == (H,) and wv.shape == (V,)
+
+    # Pair weights: zero where combos collide with each other or the board.
+    fx = set(fixed.tolist())
+    ok_h = np.array([not (set(h) & fx) for h in hero_range.tolist()])
+    ok_v = np.array([not (set(v) & fx) for v in villain_range.tolist()])
+    disjoint = np.array(
+        [[not (set(h) & set(v)) for v in villain_range.tolist()]
+         for h in hero_range.tolist()])
+    weight = (wh[:, None] * wv[None, :]) * disjoint \
+        * ok_h[:, None] * ok_v[None, :]
+    if not np.any(weight > 0):
+        raise ValueError("no disjoint combo pairs between the ranges")
+
+    hmasks = [jnp.asarray(m) for m in
+              suit_masks_from_cards(jnp.asarray(hero_range, I32))]
+    vmasks = [jnp.asarray(m) for m in
+              suit_masks_from_cards(jnp.asarray(villain_range, I32))]
+
+    wins = np.zeros((H, V), np.int64)
+    ties = np.zeros((H, V), np.int64)
+    for boards_np, valid_np in _enumerate_boards(fixed, elem_budget, H * V):
+        w, t = _range_pair_counts(jnp.asarray(boards_np),
+                                  jnp.asarray(valid_np),
+                                  hmasks, vmasks)
+        wins += np.asarray(w, np.int64)
+        ties += np.asarray(t, np.int64)
+
+    import math
+
+    n_boards = math.comb(52 - K - 4, 5 - K)  # same for every disjoint pair
+    with np.errstate(invalid="ignore"):
+        pair_eq = np.where(weight > 0,
+                           (wins + 0.5 * ties) / n_boards, np.nan)
+    total_w = weight.sum()
+    equity = float(np.nansum(pair_eq * weight) / total_w)
+    return RangeEquityResult(equity=equity, pair_equity=pair_eq,
+                             pair_weight=weight, n_boards=n_boards)
+
+
+def equity_exact_vs_range(
+    hero: Sequence[int],
+    villain_range,
+    villain_weights=None,
+    board: Sequence[int] = (),
+) -> RangeEquityResult:
+    """EXACT hero-hand-vs-weighted-range equity (card-removal-correct):
+    ``equity_exact_range_vs_range`` with a single hero combo."""
+    hero = np.asarray(hero, np.int32).reshape(1, 2)
+    _check_disjoint(hero, board)
+    return equity_exact_range_vs_range(
+        hero, villain_range, None, villain_weights, board=board)
+
+
 def canonical_hands():
     """The 169 canonical starting hands as (label, (card, card)).
 

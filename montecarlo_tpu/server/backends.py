@@ -80,14 +80,14 @@ class NativeBackend:
         return list(self._seat_stacks)
 
     def set_stacks(self, stacks: Sequence[int]):
+        """Push new global stacks into the live table (database.clj:8-12:
+        stacks are global per-player refs, so a cross-room change is visible
+        to this room's in-progress hand immediately — same semantics as
+        JaxBackend.set_stacks)."""
         self._seat_stacks = list(stacks)
-        # Push into the live table (order space).
-        # The native table owns stacks during a hand; sync is only needed
-        # for cross-room stack changes between this room's actions.
-        # Recreate cheaply is not possible mid-hand, so adjust via snapshot
-        # deltas is unnecessary: we simply keep host stacks authoritative at
-        # hand boundaries and accept in-hand divergence (the reference's
-        # global refs have the same race).
+        order_stacks = [self._seat_stacks[self._seat(j)]
+                        for j in range(self.n)]
+        self.table.set_stacks(order_stacks)
 
     def in_hand_seats(self) -> List[int]:
         snap = self.table.snapshot()

@@ -366,6 +366,15 @@ void mc_table_act(Table *t, int32_t action) { t->act(t->clamp(action)); }
 void mc_table_act_raw(Table *t, int32_t action) { t->act(action); }
 void mc_table_settle(Table *t) { t->settle(); }
 
+// Overwrite live stacks (hand-order space): the reference's stacks are
+// global per-player refs (database.clj:8-12) mutated by any room, so a
+// cross-room stack change is visible to an in-progress hand immediately.
+// Chips already contributed to this hand's layers were deducted at bet
+// time, so the incoming value is simply the new spendable stack.
+void mc_table_set_stacks(Table *t, const int32_t *stacks) {
+  for (int s = 0; s < t->n; ++s) t->stacks[s] = stacks[s];
+}
+
 // Flat snapshot for conformance tests:
 // [n, stage, time, n_revealed, over, head, in_hand, remaining,
 //  stacks[n], n_bets, bets(4 ints each), n_pots, pots(4 ints each)]

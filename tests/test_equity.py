@@ -209,3 +209,83 @@ def test_overlapping_cards_rejected():
                         [[ah, make_card(H, 13)], [ah, make_card(D, 2)]], 1000)
     with _pytest.raises(ValueError):
         equity_vs_hand(jax.random.key(0), [ah, 99], [1, 2], 1000)
+
+
+def test_exact_range_vs_range_matches_per_pair_loop():
+    """Flop case small enough to cross-check every combo pair against the
+    single-pair exact enumerator."""
+    from montecarlo_tpu.rollout.equity import (
+        equity_exact, equity_exact_range_vs_range, expand_range,
+    )
+
+    hero_r = expand_range(["QQ"])[:4]
+    vill_r = expand_range(["AKs"])
+    board = [make_card(0, 12), make_card(1, 7), make_card(2, 2)]  # Qh 7d 2s
+    res = equity_exact_range_vs_range(hero_r, vill_r, board=board)
+
+    weights = []
+    eqs = []
+    for i, h in enumerate(hero_r.tolist()):
+        for j, v in enumerate(vill_r.tolist()):
+            if set(h) & set(v) or set(h) & set(map(int, board)) \
+                    or set(v) & set(map(int, board)):
+                assert res.pair_weight[i, j] == 0
+                continue
+            e = equity_exact(h, v, board=board)
+            assert res.pair_weight[i, j] == 1
+            np.testing.assert_allclose(res.pair_equity[i, j], e.equity,
+                                       atol=1e-12)
+            weights.append(1.0)
+            eqs.append(e.equity)
+    np.testing.assert_allclose(res.equity, np.average(eqs, weights=weights),
+                               atol=1e-12)
+
+
+def test_exact_range_vs_range_symmetry():
+    """eq(A vs B) + eq(B vs A) == 1 exactly (ties split half-half)."""
+    from montecarlo_tpu.rollout.equity import (
+        equity_exact_range_vs_range, expand_range,
+    )
+
+    a = expand_range(["TT", "A9s"])
+    b = expand_range(["KQs", "66"])
+    board = [make_card(0, 11), make_card(1, 8), make_card(2, 3),
+             make_card(3, 13)]  # turn: fewer completions, exact both ways
+    r1 = equity_exact_range_vs_range(a, b, board=board)
+    r2 = equity_exact_range_vs_range(b, a, board=board)
+    np.testing.assert_allclose(r1.equity + r2.equity, 1.0, atol=1e-12)
+    np.testing.assert_array_equal(r1.pair_weight, r2.pair_weight.T)
+
+
+def test_exact_range_vs_range_weighted():
+    """Combo weights tilt the aggregate toward the weighted combos."""
+    from montecarlo_tpu.rollout.equity import (
+        equity_exact_range_vs_range, expand_range,
+    )
+
+    hero = expand_range(["AA"])
+    vill = expand_range(["KK", "22"])
+    board = [make_card(2, 9), make_card(3, 6), make_card(1, 4),
+             make_card(0, 10)]
+    w_kk = np.array([1.0] * 6 + [0.0] * 6)
+    w_22 = np.array([0.0] * 6 + [1.0] * 6)
+    r_kk = equity_exact_range_vs_range(hero, vill, None, w_kk, board=board)
+    r_22 = equity_exact_range_vs_range(hero, vill, None, w_22, board=board)
+    r_mix = equity_exact_range_vs_range(hero, vill, None, 0.5 * (w_kk + w_22),
+                                        board=board)
+    assert abs(r_mix.equity - 0.5 * (r_kk.equity + r_22.equity)) < 1e-9
+
+
+def test_exact_vs_range_agrees_with_mc_preflop():
+    """Preflop exact hand-vs-range agrees with the MC estimator within CI
+    (the MC path samples combos card-removal-correctly by construction)."""
+    from montecarlo_tpu.rollout.equity import (
+        equity_exact_vs_range, equity_vs_range, expand_range,
+    )
+
+    hero = [make_card(0, 14), make_card(0, 13)]  # AhKh
+    vill = expand_range(["QQ", "JJ"])
+    exact = equity_exact_vs_range(hero, vill)
+    mc = equity_vs_range(jax.random.key(3), hero, vill, 400_000)
+    lo, hi = mc.ci95
+    assert lo - 0.003 <= exact.equity <= hi + 0.003, (exact.equity, mc.ci95)

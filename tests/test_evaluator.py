@@ -132,3 +132,66 @@ def test_bitmask_vs_oracle_exhaustive_5card():
     want = np.array([ref_eval5([(h // 13, 2 + h % 13) for h in hand])
                      for hand in hands], dtype=np.uint32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_cmp_eval_order_isomorphic_random():
+    """eval_masks_cmp's keys order/tie 7-card hands exactly like the
+    reference-packed keys (it is the comparator used inside the Pallas
+    equity kernels, where keys are only ever compared)."""
+    from montecarlo_tpu.ops.evaluator import eval_masks_cmp
+
+    rng = random.Random(0xBEEF)
+    hands = [rng.sample(range(52), 7) for _ in range(50_000)]
+    masks = suit_masks_from_cards(jnp.array(hands, dtype=jnp.int32))
+    ref = np.asarray(eval_masks(*masks), dtype=np.uint32)
+    fast = np.asarray(eval_masks_cmp(*masks), dtype=np.int32)
+
+    # Strict order isomorphism over every observed key: each reference key
+    # maps to exactly one fast key, and sorting by one sorts the other.
+    order = np.argsort(ref, kind="stable")
+    r, f = ref[order], fast[order]
+    same_ref = r[1:] == r[:-1]
+    same_fast = f[1:] == f[:-1]
+    np.testing.assert_array_equal(same_ref, same_fast)
+    assert np.all(f[1:][~same_ref] > f[:-1][~same_ref])
+
+
+def test_cmp_eval_order_isomorphic_structured():
+    """Corner categories (quads+trips, double trips, three pairs, 6-card
+    flushes, straight-flush-with-pair) order identically under both keys."""
+    from montecarlo_tpu.ops.evaluator import eval_masks_cmp
+
+    hands = []
+    # all quads + kicker-trips combos and double-trips at adjacent ranks
+    for r1 in range(2, 15):
+        for r2 in (2, 9, 14):
+            if r1 == r2:
+                continue
+            hands.append([make_card(s, r1) for s in range(4)]
+                         + [make_card(s, r2) for s in range(3)])
+            hands.append([make_card(s, r1) for s in range(3)]
+                         + [make_card(s, r2) for s in range(3)]
+                         + [make_card(3, 2 if 2 not in (r1, r2) else 3)])
+    # three pairs with every kicker relation
+    for k in (2, 8, 11, 13, 14):
+        pr = [r for r in (3, 6, 10, 12) if r != k][:3]
+        hands.append([make_card(0, pr[0]), make_card(1, pr[0]),
+                      make_card(0, pr[1]), make_card(1, pr[1]),
+                      make_card(0, pr[2]), make_card(1, pr[2]),
+                      make_card(2, k)])
+    # 5/6/7-card flushes sharing top cards
+    hands.append([make_card(0, r) for r in (2, 5, 7, 9, 11)]
+                 + [make_card(1, 13), make_card(2, 14)])
+    hands.append([make_card(0, r) for r in (2, 5, 7, 9, 11, 13)]
+                 + [make_card(2, 14)])
+    hands.append([make_card(0, r) for r in (2, 4, 5, 7, 9, 11, 13)])
+
+    masks = suit_masks_from_cards(jnp.array(hands, dtype=jnp.int32))
+    ref = np.asarray(eval_masks(*masks), dtype=np.uint32)
+    fast = np.asarray(eval_masks_cmp(*masks), dtype=np.int32)
+    order = np.argsort(ref, kind="stable")
+    r, f = ref[order], fast[order]
+    same_ref = r[1:] == r[:-1]
+    same_fast = f[1:] == f[:-1]
+    np.testing.assert_array_equal(same_ref, same_fast)
+    assert np.all(f[1:][~same_ref] > f[:-1][~same_ref])

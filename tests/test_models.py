@@ -128,3 +128,58 @@ def test_pretrained_policy_artifact_loads_and_plays():
     keys = jax.random.split(jax.random.key(77), 64)
     final = play_hands(keys, cfg, num_hands=1, policy=net_policy(params))
     assert bool(jnp.all(final.hand_over))
+
+
+def test_all_combos_partition():
+    from montecarlo_tpu.models.pushfold import _all_combos, _representatives
+
+    combos, cls = _all_combos()
+    assert combos.shape == (1326, 2) and cls.shape == (1326,)
+    # class sizes are exactly the 6/4/12 combo counts
+    _, _, _, w = _representatives()
+    counts = np.bincount(cls, minlength=169)
+    np.testing.assert_array_equal(counts, w.astype(np.int64))
+    # no duplicate combos
+    flat = {tuple(sorted(c)) for c in combos.tolist()}
+    assert len(flat) == 1326
+
+
+def test_matchup_pair_counts_invariants():
+    from montecarlo_tpu.models.pushfold import (
+        matchup_pair_counts, _representatives,
+    )
+
+    _, _, _, w = _representatives()
+    n = matchup_pair_counts()
+    # every row sums to combos(a) * C(50,2)
+    np.testing.assert_array_equal(n.sum(axis=1), (w * 1225).astype(np.int64))
+    # deal counts are symmetric: #(a,b) pairs == #(b,a) pairs
+    np.testing.assert_array_equal(n, n.T)
+    # blocker sanity: AA vs AA has 6*1=6 pairs (2 aces left -> 1 combo),
+    # AA vs KK the full 6*6.
+    labels = [l for l, _ in __import__(
+        "montecarlo_tpu.rollout.equity", fromlist=["canonical_hands"]
+    ).canonical_hands()]
+    aa, kk = labels.index("AA"), labels.index("KK")
+    assert n[aa, aa] == 6 * 1
+    assert n[aa, kk] == 6 * 6
+
+
+def test_push_fold_cr_solver_book_values():
+    """CR solver on the round-1 exact matrix + true pair counts still lands
+    on the textbook 10bb equilibrium (removal shifts ranges only slightly;
+    the matrix itself is replaced by the CR artifact when built)."""
+    import os
+
+    from montecarlo_tpu.models.pushfold import (
+        matchup_pair_counts, solve_push_fold_cr,
+    )
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "pushfold_eq169_exact.npz")
+    eq = np.load(path)["equity"]
+    sol = solve_push_fold_cr(eq, matchup_pair_counts(), stack_bb=10.0)
+    assert 0.50 < sol.jam_fraction < 0.66, sol.jam_fraction
+    assert 0.30 < sol.call_fraction < 0.45, sol.call_fraction
+    assert "AA" in sol.jam_range() and "AA" in sol.call_range()
+    assert "72o" not in sol.call_range()

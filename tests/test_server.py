@@ -318,3 +318,69 @@ def test_malformed_requests_do_not_crash():
     # Registry still serves subsequent valid traffic.
     reg.dispatch(a.pid, {"type": "whoami"})
     assert a.msgs[-1] == a.pid
+
+
+@pytest.mark.parametrize("backend", ["jax", "native"])
+def test_cross_room_global_stacks_identical_wire(backend):
+    """Global per-player stacks (database.clj:8-12) across two rooms: a
+    stack change in room A must be visible to room B's live hand — on BOTH
+    backends, with identical wire-level outcomes.
+
+    The script is fold-only, so every status code, bet layer, and stack in
+    the broadcast boards is card-independent; the transcripts (minus the
+    private card messages and gensym ids) must match exactly between the
+    jax and native engines. Regression for the NativeBackend.set_stacks
+    no-op divergence.
+    """
+    from montecarlo_tpu import native
+
+    if backend == "native" and not native.available():
+        pytest.skip("native library not built")
+
+    def run(kind):
+        reg = Registry(backend=kind)
+        p, q = Client(reg), Client(reg)
+        script = [
+            (p, {"type": "new_room", "name": "a", "n": 2}),
+            (p, {"type": "join_room", "name": "a"}),
+            (q, {"type": "join_room", "name": "a"}),
+            (p, {"type": "new_room", "name": "b", "n": 2}),
+            (p, {"type": "join_room", "name": "b"}),
+            (q, {"type": "join_room", "name": "b"}),
+            # Room a: head folds -> blinds move, registry stacks change.
+            (q, {"type": "play", "name": "a", "amt": -1}),
+            (p, {"type": "play", "name": "a", "amt": -1}),
+            # Room b: next action must see the updated global stacks.
+            (q, {"type": "play", "name": "b", "amt": 0}),
+            (p, {"type": "play", "name": "b", "amt": 0}),
+        ]
+        for cl, msg in script:
+            reg.dispatch(cl.pid, msg)
+        rename = {p.pid: "P", q.pid: "Q"}
+
+        def scrub(m):
+            if not isinstance(m, dict) or "card" in m:
+                return None  # decks differ across backends; drop privates
+            if "community-cards" in m:  # likewise the dealt board
+                m = {k: v for k, v in m.items() if k != "community-cards"}
+            s = json.dumps(m, sort_keys=True)
+            for pid, tag in rename.items():
+                s = s.replace(pid, tag)
+            return s
+
+        wire = [scrub(m) for cl in (p, q) for m in cl.msgs]
+        stacks = {rename[k]: v for k, v in reg.stacks.items()}
+        room_b = reg.rooms["b"]
+        board_b = room_b.engine.board_json([
+            room_b.seats[i] if False else pid for i, pid in
+            enumerate(room_b.seats)])
+        live_stacks_b = sorted(pl["stack"] for pl in board_b["players"])
+        return [w for w in wire if w is not None], stacks, live_stacks_b
+
+    wire_j, stacks_j, live_j = run("jax")
+    wire_n, stacks_n, live_n = run(backend)
+    assert stacks_j == stacks_n
+    assert wire_j == wire_n
+    # Room b's LIVE engine shows the globally-synced stacks (not the
+    # 100-chip snapshot it was created with).
+    assert live_j == live_n

@@ -249,12 +249,23 @@ def matchup_equity_matrix_cr(elem_budget: int = 1 << 27,
     ~2.3e12 device comparisons — minutes on a TPU chip; use the committed
     artifact (``data/pushfold_eq169_cr.npz``) rather than rebuilding.
     """
+    import sys
+    import time as _time
+
     from montecarlo_tpu.rollout.equity import equity_exact_range_vs_range
 
     _, hero_reps, _, _ = _representatives()
     combos, cls = _all_combos()
+    t0 = _time.perf_counter()
+
+    def _log(done):
+        if progress:
+            print(f"  boards {done:,} ({_time.perf_counter() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+
     res = equity_exact_range_vs_range(hero_reps, combos,
-                                      elem_budget=elem_budget)
+                                      elem_budget=elem_budget,
+                                      progress=_log)
     # Class-aggregate the [169, 1326] pair results with equal weight per
     # surviving combo pair (pair_weight is 1 where disjoint, 0 otherwise).
     w = res.pair_weight                      # [169, 1326]

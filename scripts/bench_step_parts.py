@@ -1,0 +1,97 @@
+"""Decompose the perpetual-table step cost on hardware.
+
+Times vmapped scans whose bodies are (a) policy+step_action only, (b) plus
+settle_showdown, (c) plus next_hand, (d) the real step_table — each extra
+piece guarded by a data-dependent always-false select so XLA cannot DCE it.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/root/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from functools import partial  # noqa: E402
+
+from montecarlo_tpu.engine.state import (  # noqa: E402
+    TableConfig, init_state, next_hand,
+)
+from montecarlo_tpu.engine.step import (  # noqa: E402
+    _select_tree, clamp_action, settle_showdown, step_action, step_table,
+)
+from montecarlo_tpu.rollout.policy import random_policy  # noqa: E402
+
+I32 = jnp.int32
+
+
+def make_scan(kind, cfg, n_steps):
+    @partial(jax.jit, static_argnames=())
+    def run(keys):
+        def one(key):
+            st = init_state(key, cfg)
+
+            def body(carry, k):
+                st, sr = carry
+                action = clamp_action(st, random_policy(k, st, sr))
+                nxt = step_action(st, action, rules=cfg.rules)
+                never = nxt.time < 0  # data-dependent, always false
+                if kind in ("settle", "both"):
+                    nxt = _select_tree(
+                        never, settle_showdown(nxt, rules=cfg.rules), nxt)
+                if kind in ("deal", "both"):
+                    nxt = _select_tree(
+                        never, next_hand(nxt, rules=cfg.rules), nxt)
+                if kind == "table":
+                    nxt = step_table(st, action, rules=cfg.rules)
+                sr = jnp.where(nxt.stage != st.stage, 0,
+                               sr + ((action > 0) & ~st.hand_over))
+                return (nxt, sr), None
+
+            ks = jax.random.split(jax.random.fold_in(key, 3), n_steps)
+            (final, _), _ = jax.lax.scan(body, (st, jnp.zeros((), I32)), ks)
+            return final
+
+        return jax.vmap(one)(keys)
+
+    return run
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tables", type=int, default=1 << 20)
+    ap.add_argument("--steps", type=int, default=64)
+    args = ap.parse_args()
+    cfg = TableConfig(num_seats=6)
+
+    for kind in ("base", "settle", "deal", "both", "table"):
+        run = make_scan(kind, cfg, args.steps)
+
+        def once(seed):
+            keys = jax.random.split(jax.random.key(seed), args.tables)
+            t0 = time.perf_counter()
+            final = run(keys)
+            _ = int(final.time.sum())
+            return time.perf_counter() - t0
+
+        once(0)
+        dt = min(once(i + 1) for i in range(3))
+        rate = args.tables * args.steps / dt
+        print(json.dumps({
+            "kind": kind,
+            "table_steps_per_sec": rate,
+            "ns_per_table_step": 1e9 / rate * 1,
+            "seconds": dt,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -183,3 +183,32 @@ def test_push_fold_cr_solver_book_values():
     assert 0.30 < sol.call_fraction < 0.45, sol.call_fraction
     assert "AA" in sol.jam_range() and "AA" in sol.call_range()
     assert "72o" not in sol.call_range()
+
+
+def test_push_fold_cr_artifact_matches_book():
+    """The committed card-removal-correct artifact reproduces the textbook
+    10bb heads-up Nash equilibrium (jam ~58.4%, call ~37.7%) with NO
+    removal approximation (exact combo-pair enumeration)."""
+    import json
+    import os
+
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data")
+    npz = os.path.join(base, "pushfold_eq169_cr.npz")
+    rj = os.path.join(base, "pushfold_ranges_cr.json")
+    if not (os.path.exists(npz) and os.path.exists(rj)):
+        import pytest
+        pytest.skip("CR artifacts not built")
+    with np.load(npz) as d:
+        eq, n_pairs = d["equity"], d["n_pairs"]
+    assert eq.shape == (169, 169) and n_pairs.shape == (169, 169)
+    # exact complementarity: class-pair equities + transpose == 1
+    np.testing.assert_allclose(eq + eq.T, 1.0, atol=1e-9)
+    np.testing.assert_array_equal(n_pairs, n_pairs.T)
+    with open(rj) as f:
+        ranges = json.load(f)["stacks_bb"]
+    assert abs(ranges["10"]["jam_fraction"] - 0.584) < 0.02
+    assert abs(ranges["10"]["call_fraction"] - 0.377) < 0.02
+    # monotone: shallower stacks jam and call wider
+    fracs = [ranges[s]["jam_fraction"] for s in ("3", "5", "10", "20")]
+    assert fracs == sorted(fracs, reverse=True)

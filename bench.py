@@ -62,24 +62,26 @@ def _run_xla(hero, villain, n):
     return best, w, t, m, "xla"
 
 
-def _run_selfplay(n_tables=1 << 20, num_hands=1):
-    """Full betting hands/sec through the vmapped engine (config 4)."""
+def _run_selfplay(n_tables=1 << 20, n_steps=128):
+    """Full betting hands/sec through the vmapped engine (config 4):
+    steady-state perpetual tables — every step plays a real action, each
+    hand settles and redeals inside the step (gameplay.clj:149-150)."""
     from montecarlo_tpu.engine.state import TableConfig
-    from montecarlo_tpu.rollout.selfplay import play_hands
+    from montecarlo_tpu.rollout.selfplay import play_hands_perpetual
 
     cfg = TableConfig(num_seats=6)
 
     def once(seed):
         keys = jax.random.split(jax.random.key(seed), n_tables)
         t0 = time.perf_counter()
-        final = play_hands(keys, cfg, num_hands=num_hands)
-        done = int(final.time.sum())  # host round-trip = tunnel sync
-        assert done > 0
-        return time.perf_counter() - t0
+        _, hands = play_hands_perpetual(keys, cfg, n_steps)
+        h = int(hands)  # host round-trip = tunnel sync
+        assert h > 0
+        return time.perf_counter() - t0, h
 
     once(0)  # warmup/compile
-    best = min(once(i + 1) for i in range(3))
-    return n_tables * num_hands / best
+    best, hands = min(once(i + 1) for i in range(3))
+    return hands / best
 
 
 def main():

@@ -48,14 +48,20 @@ def __getattr__(name):
         "step_table": "montecarlo_tpu.engine.step",
         "public_board": "montecarlo_tpu.engine.public",
         "play_hands": "montecarlo_tpu.rollout.selfplay",
+        "play_hands_perpetual": "montecarlo_tpu.rollout.selfplay",
+        "play_tournament": "montecarlo_tpu.rollout.selfplay",
+        "tournament_placements": "montecarlo_tpu.rollout.selfplay",
         "equity_vs_hand": "montecarlo_tpu.rollout.equity",
         "equity_vs_random": "montecarlo_tpu.rollout.equity",
         "equity_vs_range": "montecarlo_tpu.rollout.equity",
         "equity_multiway": "montecarlo_tpu.rollout.equity",
         "equity_exact": "montecarlo_tpu.rollout.equity",
+        "equity_exact_vs_range": "montecarlo_tpu.rollout.equity",
+        "equity_exact_range_vs_range": "montecarlo_tpu.rollout.equity",
         "expand_range": "montecarlo_tpu.rollout.equity",
         "canonical_hands": "montecarlo_tpu.rollout.equity",
         "duplicate_match": "montecarlo_tpu.rollout.evaluate",
+        "duplicate_match_multihand": "montecarlo_tpu.rollout.evaluate",
         "make_mesh": "montecarlo_tpu.parallel.mesh",
         "equity_sweep": "montecarlo_tpu.parallel.mesh",
         "train_policy": "montecarlo_tpu.models.train",

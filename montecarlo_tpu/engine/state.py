@@ -64,6 +64,10 @@ class TableConfig:
     # showdown, boards run out when betting is closed, pots pay
     # amt * |contributors| with odd chips to the first-position winner;
     # chips are exactly conserved.
+    # "tournament": standard accounting plus true elimination — busted
+    # seats leave the deal (live-mask shrinks, array shape fixed), blinds
+    # advance over eliminated seats, and the table freezes once one player
+    # holds all the chips (next_hand returns a terminal hand_over state).
     rules: str = "reference"
 
 
@@ -165,7 +169,35 @@ def begin_hand(state: TableState, rules: str = "reference") -> TableState:
     # posts big; play-order drops 2; blinds do not touch remaining-players
     # or the clock.
     stacks = state.stacks
-    if rules == "standard":
+    in_hand = ones
+    cursor0 = jnp.full((), 2 % P, I32)
+    if rules == "tournament":
+        # True elimination: only alive seats are dealt in. Position 0 is
+        # alive by next_hand's rotation invariant; the big blind goes to
+        # the first alive position >= 1 and action starts after it. Dead
+        # positions still consume deck slots (their cards never play).
+        alive = state.stacks > 0
+        idx = jnp.arange(P)
+        bb_pos = jnp.min(jnp.where(alive & (idx >= 1), idx, P))
+
+        def post_at(stacks, bets, pos, amount):
+            sel = idx == pos
+            stack_at = jnp.sum(jnp.where(sel, stacks, 0))
+            pay = jnp.clip(amount, 0, jnp.maximum(stack_at, 0))
+            stacks = stacks - jnp.where(sel, pay, 0)
+            posted = update_bets(bets, pay, pos)
+            bets = jax.tree.map(
+                lambda a, b: jnp.where(pay > 0, a, b), posted, bets)
+            return stacks, bets
+
+        stacks, bets = post_at(stacks, bets, jnp.zeros((), I32),
+                               state.small_blind)
+        stacks, bets = post_at(stacks, bets, bb_pos, state.big_blind)
+        all_in = alive & (stacks <= 0)  # all-in blinds still contest
+        in_hand = alive
+        actable = alive & (stacks > 0)
+        cursor0 = ((bb_pos + 1) % P).astype(I32)
+    elif rules == "standard":
         def post(stacks, bets, pos, amount):
             pay = jnp.clip(amount, 0, jnp.maximum(stacks[pos], 0))
             stacks = stacks.at[pos].add(-pay)
@@ -193,8 +225,8 @@ def begin_hand(state: TableState, rules: str = "reference") -> TableState:
         n_community=jnp.zeros((), I32),
         stage=jnp.zeros((), I32),
         time=jnp.zeros((), I32),
-        cursor=jnp.full((), 2 % P, I32),
-        in_hand=ones,
+        cursor=cursor0,
+        in_hand=in_hand,
         all_in=all_in,
         folded=jnp.zeros((P,), jnp.bool_),
         order_mask=actable,
@@ -235,10 +267,40 @@ def next_hand(state: TableState, rules: str = "reference") -> TableState:
     a constant roll — so new position 0 (the next small blind) is the old
     position 1; the button metadata advances for host seat-mapping. Stacks
     persist; busted players are never eliminated (reference quirk — blinds
-    may drive stacks negative, ``gameplay.clj:83-88``)."""
+    may drive stacks negative, ``gameplay.clj:83-88``).
+
+    Tournament rules rotate by the distance to the next ALIVE seat (blinds
+    advance over eliminated seats), and once at most one player has chips
+    the table FREEZES: a terminal ``hand_over`` state with cleared pots
+    (idempotent under further ``next_hand``/``step_table`` calls)."""
     P = state.num_seats
-    return begin_hand(state._replace(
-        stacks=jnp.roll(state.stacks, -1),
-        button=(state.button + 1) % P,
+    if rules != "tournament":
+        return begin_hand(state._replace(
+            stacks=jnp.roll(state.stacks, -1),
+            button=(state.button + 1) % P,
+            hand_idx=state.hand_idx + 1,
+        ), rules=rules)
+
+    alive = state.stacks > 0
+    n_alive = jnp.sum(alive.astype(I32))
+    idx = jnp.arange(P)
+    shift = jnp.min(jnp.where(alive & (idx >= 1), idx, P))
+    shift = jnp.clip(shift, 1, P - 1)  # well-defined even when freezing
+    # Gather-free dynamic roll: compose static rolls under a select.
+    rolled = state.stacks
+    for k in range(1, P):
+        rolled = jnp.where(shift == k, jnp.roll(state.stacks, -k), rolled)
+    nxt = begin_hand(state._replace(
+        stacks=rolled,
+        button=(state.button + shift) % P,
         hand_idx=state.hand_idx + 1,
     ), rules=rules)
+    frozen = state._replace(
+        bets=empty_layers(state.bets.capacity, P),
+        pots=empty_layers(state.pots.capacity, P),
+        to_act=jnp.zeros((P,), jnp.bool_),
+        order_mask=jnp.zeros((P,), jnp.bool_),
+        hand_over=jnp.ones((), jnp.bool_),
+    )
+    return jax.tree.map(
+        lambda a, b: jnp.where(n_alive <= 1, a, b), frozen, nxt)

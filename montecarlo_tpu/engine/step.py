@@ -126,7 +126,7 @@ def apply_action(state: TableState, action, rules: str = "reference"
     is_check = is_call & (bet_amt == 0)
     threads = (is_call & (bet_amt > 0)) | is_raise
 
-    if rules == "standard":
+    if rules != "reference":
         # Payments cap at the stack: an all-in for less joins only what it
         # can cover, splitting a side pot inside update_bets.
         pay_call = jnp.minimum(delta, stack)
@@ -148,7 +148,7 @@ def apply_action(state: TableState, action, rules: str = "reference"
     new_bets = _select_tree(is_fold | is_check, merged, threaded)
 
     went_all_in = threads & (paid == stack)
-    if rules == "standard":
+    if rules != "reference":
         # All-in seats stop acting but stay live for the showdown.
         in_hand = state.in_hand & ~(onehot & is_fold)
         all_in = state.all_in | (onehot & went_all_in)
@@ -223,7 +223,7 @@ def stage_transition(state: TableState, rules: str = "reference") -> TableState:
     onto the pots, remaining-players and play-order rebuild from ``:players``
     (all-in seats drop out of the order here)."""
     reveal = jnp.where(state.stage == 0, 3, 1)
-    actable = state.in_hand & ~state.all_in if rules == "standard" \
+    actable = state.in_hand & ~state.all_in if rules != "reference" \
         else state.in_hand
     return state._replace(
         n_community=state.n_community + reveal,
@@ -244,6 +244,22 @@ def hand_values(state: TableState) -> jax.Array:
     return eval7_from_cards(cards)
 
 
+def hand_values_cmp(state: TableState) -> jax.Array:
+    """Comparison-only 7-card keys per seat (order/tie-isomorphic to the
+    packed reference keys — property-tested in tests/test_evaluator.py).
+    The showdown only compares values within one hand, so the cheaper key
+    yields bit-identical winner sets and payouts."""
+    from montecarlo_tpu.ops.evaluator import (
+        eval_masks_cmp_impl,
+        suit_masks_from_cards,
+    )
+
+    P = state.num_seats
+    cards = jnp.concatenate(
+        [state.hole, jnp.broadcast_to(state.community, (P, 5))], axis=1)
+    return eval_masks_cmp_impl(*suit_masks_from_cards(cards))
+
+
 @partial(jax.jit, static_argnames=("rules",))
 def settle_showdown(state: TableState, rules: str = "reference") -> TableState:
     """End-of-hand pot resolution (``gameplay.clj:122-133``): flush street
@@ -257,12 +273,12 @@ def settle_showdown(state: TableState, rules: str = "reference") -> TableState:
     first-position winner — chips conserve exactly.
     """
     pots = append_layers(state.pots, state.bets)
-    values = hand_values(state).astype(jnp.uint32)
+    values = hand_values_cmp(state).astype(jnp.uint32)
 
     PL = pots.capacity
     P = state.num_seats
     valid = (jnp.arange(PL) < pots.count)[:, None]
-    if rules == "standard":
+    if rules != "reference":
         live = state.in_hand  # not folded (all-in included)
         orig_m = member_matrix(pots.orig, P)
         elig = orig_m & live[None, :] & valid
@@ -276,7 +292,7 @@ def settle_showdown(state: TableState, rules: str = "reference") -> TableState:
     cnt = jnp.sum(winners, axis=1)
     share = jnp.where(cnt > 0, total_pot // jnp.maximum(cnt, 1), 0)
     payout = jnp.sum(jnp.where(winners, share[:, None], 0), axis=0)
-    if rules == "standard":
+    if rules != "reference":
         # Odd chips to the first-position winner of each layer.
         rem = jnp.where(cnt > 0, total_pot % jnp.maximum(cnt, 1), 0)
         first = jnp.argmax(winners, axis=1)  # [PL]
@@ -298,7 +314,7 @@ def _advance_streets(state: TableState, rules: str) -> TableState:
     (board-action, board.clj:122-129). Standard: closed betting runs the
     board out — when every live seat is all-in, streets chain to the river
     in the same step (up to 4 masked transitions)."""
-    n = 4 if rules == "standard" else 1
+    n = 4 if rules != "reference" else 1
     for _ in range(n):
         cond = stage_end(state) & ~game_end(state)
         state = _select_tree(cond, stage_transition(state, rules), state)
@@ -327,7 +343,11 @@ def step_table(state: TableState, action, rules: str = "reference"
                ) -> TableState:
     """Full continuous-table step (the server / perpetual-game form,
     ``gameplay.clj:122-150``): on game end, settle the showdown and
-    immediately deal the next hand — busted players and all."""
+    immediately deal the next hand — busted players and all.
+
+    A state with ``hand_over`` already latched is returned unchanged: under
+    tournament rules ``next_hand`` freezes a finished table (one player
+    holding all chips) in that form, terminating the perpetual loop."""
     _, _, exists = head_info(state)
     acted = apply_action(state, action, rules=rules)
     advanced = _advance_streets(acted, rules)
@@ -335,4 +355,4 @@ def step_table(state: TableState, action, rules: str = "reference"
     settled = next_hand(settle_showdown(advanced, rules=rules)._replace(
         hand_over=jnp.zeros((), jnp.bool_)), rules=rules)
     out = _select_tree(ended, settled, advanced)
-    return _select_tree(~exists, state, out)
+    return _select_tree(state.hand_over | ~exists, state, out)

@@ -90,3 +90,24 @@ def tight_policy(key, state, street_raises, fold_prob: float = 0.5):
     owes = needed_bet(state.bets, seat) > 0
     u = jax.random.uniform(key)
     return jnp.where(owes & (u < fold_prob), I32(-1), I32(0))
+
+
+def pinned_seat_policies(policies):
+    """Combine per-SEAT policies into one table policy: identities are
+    pinned to stable seats across hands (seat = (button + position) % P,
+    the same mapping the server host uses), so the same agent keeps its
+    chair while the blinds rotate around the table. Contrast with
+    ``seat_policies``, whose identities are per-hand positions (position 0
+    is always the current small blind)."""
+
+    def policy(key, state, street_raises):
+        pos, _, _ = head_info(state)
+        seat = (state.button + pos) % state.num_seats
+        actions = jnp.stack([
+            jnp.asarray(p(jax.random.fold_in(key, j), state, street_raises),
+                        I32)
+            for j, p in enumerate(policies)])
+        return jnp.sum(jnp.where(jnp.arange(len(policies)) == seat,
+                                 actions, 0))
+
+    return policy

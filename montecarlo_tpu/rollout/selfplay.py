@@ -110,6 +110,117 @@ def play_hands(
     return (final, deltas) if collect_deltas else final
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "policy"))
+def play_hands_perpetual(
+    keys: jax.Array,
+    cfg: TableConfig,
+    n_steps: int,
+    policy: Callable = random_policy,
+):
+    """Perpetual-table self-play: scan ``n_steps`` of ``step_table`` (the
+    reference's endless-game loop, ``gameplay.clj:149-150``) on every
+    table — each hand settles and the next deals INSIDE the step, so every
+    lane does useful work on every step (no masked tail).
+
+    This is the steady-state throughput form: ``play_hands`` pays the
+    worst-case action bound per hand (72 steps for 6-max) with most steps
+    masked no-ops; here a hand completes every ~E[actions] steps (~27 for
+    6-max random play) at ~1.7x the per-step price — measured 1.6x more
+    hands/s on a v5e (see PERF.md round-2 roofline).
+
+    Returns ``(final_states, hands_completed)`` (total across tables).
+    """
+    from montecarlo_tpu.engine.step import step_table
+
+    def one_table(key):
+        st = init_state(key, cfg)
+
+        def body(carry, k):
+            st, street_raises = carry
+            action = clamp_action(st, policy(k, st, street_raises))
+            prev_stage, prev_idx = st.stage, st.hand_idx
+            nxt = step_table(st, action, rules=cfg.rules)
+            applied = (action > 0) & ~st.hand_over
+            street_raises = jnp.where(
+                (nxt.stage != prev_stage) | (nxt.hand_idx != prev_idx),
+                0, street_raises + applied)
+            return (nxt, street_raises), None
+
+        ks = jax.random.split(jax.random.fold_in(key, 0x5CAD), n_steps)
+        (final, _), _ = jax.lax.scan(body, (st, jnp.zeros((), I32)), ks)
+        return final
+
+    final = jax.vmap(one_table)(keys)
+    return final, jnp.sum(final.hand_idx)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "max_hands", "max_steps", "policy"))
+def play_tournament(
+    keys: jax.Array,
+    cfg: TableConfig,
+    max_hands: int,
+    max_steps: Optional[int] = None,
+    policy: Callable = random_policy,
+):
+    """Play up to ``max_hands`` TOURNAMENT hands per table (true
+    elimination: busted seats leave the deal, blinds advance over them,
+    the table freezes when one player holds everything).
+
+    Returns ``(final_states, busted_at)`` where ``busted_at[t, s]`` is the
+    0-based hand index at which SEAT ``s`` (stable across hands; position
+    arrays rotate, seat = (button + position) % P) first hit zero chips —
+    ``max_hands + 1`` for seats still alive at the end.
+    """
+    assert cfg.rules == "tournament", "play_tournament needs tournament rules"
+    steps = max_steps or hand_action_bound(cfg)
+    P = cfg.num_seats
+
+    def seat_view(stacks, button):
+        """Positional stacks -> seat-indexed (gather-free dynamic roll)."""
+        out = stacks
+        for k in range(1, P):
+            out = jnp.where(button == k, jnp.roll(stacks, k), out)
+        return out
+
+    def one_table(key):
+        st = init_state(key, cfg)
+        busted = jnp.full((P,), max_hands + 1, I32)
+
+        def hand_body(carry, xs):
+            st, busted = carry
+            i, hand_key = xs
+            st = _select_tree(i > 0, next_hand(st, rules=cfg.rules), st)
+            st = play_one_hand(st, hand_key, policy=policy,
+                               max_steps=steps, rules=cfg.rules)
+            seat_stacks = seat_view(st.stacks, st.button)
+            newly = (seat_stacks <= 0) & (busted > max_hands)
+            busted = jnp.where(newly, i, busted)
+            return (st, busted), None
+
+        hand_keys = jax.random.split(
+            jax.random.fold_in(key, 0x70A8), max_hands)
+        (final, busted), _ = jax.lax.scan(
+            hand_body, (st, busted), (jnp.arange(max_hands), hand_keys))
+        return final, busted, seat_view(final.stacks, final.button)
+
+    final, busted, seat_stacks = jax.vmap(one_table)(keys)
+    return final, busted, seat_stacks
+
+
+def tournament_placements(busted_at, seat_stacks):
+    """[tables, P] finishing places (1 = winner) from bust times + final
+    stacks: later bust beats earlier; unbusted seats rank by final stack."""
+    import numpy as np
+
+    b = np.asarray(busted_at, np.int64)
+    s = np.asarray(seat_stacks, np.int64)
+    order_key = b * (s.max() + 2) + s  # bust time dominates, stack breaks
+    ranks = np.argsort(np.argsort(-order_key, axis=1, kind="stable"),
+                       axis=1, kind="stable") + 1
+    return ranks
+
+
 def position_winrates(deltas, big_blind: int):
     """[tables, hands, P] chip deltas -> (bb/hand mean[P], stderr[P]).
 

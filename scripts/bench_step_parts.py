@@ -41,8 +41,26 @@ def make_scan(kind, cfg, n_steps):
 
             def body(carry, k):
                 st, sr = carry
-                action = clamp_action(st, random_policy(k, st, sr))
-                nxt = step_action(st, action, rules=cfg.rules)
+                if kind == "const_action":  # engine only, no policy RNG
+                    action = clamp_action(st, jnp.zeros((), I32))
+                else:
+                    action = clamp_action(st, random_policy(k, st, sr))
+                if kind == "policy_only":   # policy RNG only, no engine
+                    nxt = st._replace(time=st.time + (action >= -1))
+                elif kind == "carry_only":  # full state carried, ~no math:
+                    # every field gets a data dependency so nothing is DCE'd
+                    bump = (action >= -1).astype(I32)
+
+                    def touch(x):
+                        if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+                            return x
+                        if x.dtype == jnp.bool_:
+                            return x ^ (bump > 1)
+                        return x + bump.astype(x.dtype)
+
+                    nxt = jax.tree.map(touch, st)
+                else:
+                    nxt = step_action(st, action, rules=cfg.rules)
                 never = nxt.time < 0  # data-dependent, always false
                 if kind in ("settle", "both"):
                     nxt = _select_tree(
@@ -69,10 +87,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tables", type=int, default=1 << 20)
     ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--kinds", type=str,
+                    default="base,settle,deal,both,table")
+    ap.add_argument("--prng", type=str, default="")
     args = ap.parse_args()
+    if args.prng:
+        jax.config.update("jax_default_prng_impl", args.prng)
+        print(f"prng_impl: {args.prng}", flush=True)
     cfg = TableConfig(num_seats=6)
 
-    for kind in ("base", "settle", "deal", "both", "table"):
+    for kind in args.kinds.split(","):
         run = make_scan(kind, cfg, args.steps)
 
         def once(seed):

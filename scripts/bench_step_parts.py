@@ -90,11 +90,15 @@ def main():
     ap.add_argument("--kinds", type=str,
                     default="base,settle,deal,both,table")
     ap.add_argument("--prng", type=str, default="")
+    ap.add_argument("--L", type=int, default=12)
+    ap.add_argument("--PL", type=int, default=24)
     args = ap.parse_args()
     if args.prng:
         jax.config.update("jax_default_prng_impl", args.prng)
         print(f"prng_impl: {args.prng}", flush=True)
-    cfg = TableConfig(num_seats=6)
+    cfg = TableConfig(num_seats=6, max_layers=args.L,
+                      max_pot_layers=args.PL)
+    print(f"L={args.L} PL={args.PL}", flush=True)
 
     for kind in args.kinds.split(","):
         run = make_scan(kind, cfg, args.steps)

@@ -33,6 +33,41 @@ from montecarlo_tpu.rollout.policy import random_policy  # noqa: E402
 I32 = jnp.int32
 
 
+def _ablate(which):
+    """Timing-only ablation: stub one engine sub-op (WRONG semantics)."""
+    import montecarlo_tpu.engine.bets as bets_mod
+    import montecarlo_tpu.engine.step as step_mod
+
+    saved = {}
+    if which == "no_merge":
+        saved["merge"] = step_mod.merge_bets
+        step_mod.merge_bets = lambda layers: layers
+    elif which == "no_update":
+        saved["update"] = step_mod.update_bets
+        step_mod.update_bets = lambda layers, amt, seat: layers
+    elif which == "no_append":
+        saved["append"] = step_mod.append_layers
+        step_mod.append_layers = lambda dst, src: dst
+    elif which == "no_stage":
+        saved["stage"] = step_mod.stage_transition
+        step_mod.stage_transition = lambda st, rules="reference": st
+    return saved
+
+
+def _restore(saved):
+    import montecarlo_tpu.engine.step as step_mod
+
+    for k, v in saved.items():
+        if k == "merge":
+            step_mod.merge_bets = v
+        elif k == "update":
+            step_mod.update_bets = v
+        elif k == "append":
+            step_mod.append_layers = v
+        elif k == "stage":
+            step_mod.stage_transition = v
+
+
 def make_scan(kind, cfg, n_steps):
     @partial(jax.jit, static_argnames=())
     def run(keys):
@@ -101,7 +136,11 @@ def main():
     print(f"L={args.L} PL={args.PL}", flush=True)
 
     for kind in args.kinds.split(","):
-        run = make_scan(kind, cfg, args.steps)
+        ablation = kind if kind.startswith("no_") else None
+        saved = _ablate(ablation) if ablation else {}
+        base_kind = "base" if ablation else kind
+        jax.clear_caches()  # patched globals must re-trace
+        run = make_scan(base_kind, cfg, args.steps)
 
         def once(seed):
             keys = jax.random.split(jax.random.key(seed), args.tables)
@@ -110,8 +149,11 @@ def main():
             _ = int(final.time.sum())
             return time.perf_counter() - t0
 
-        once(0)
-        dt = min(once(i + 1) for i in range(3))
+        try:
+            once(0)
+            dt = min(once(i + 1) for i in range(3))
+        finally:
+            _restore(saved)
         rate = args.tables * args.steps / dt
         print(json.dumps({
             "kind": kind,

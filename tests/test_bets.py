@@ -185,3 +185,50 @@ def test_update_bets_batch_vmap():
         (10, fs(1, 2), fs(1, 2), 2),
         (5, fs(2), fs(2), 1),
     ]
+
+
+def test_merge_bets_fuzz_vs_python_reference():
+    """Randomized layer configurations (adjacent duplicates, multi-group
+    runs, non-adjacent equal sets that must NOT merge) against a literal
+    Python transcription of bet.clj merge-bets."""
+    import random as _random
+
+    rng = _random.Random(0xF00D)
+
+    def py_merge(rows):
+        out = []
+        for amt, mem, orig, n in rows:
+            if out and out[-1][1] == mem and out[-1][2] == orig:
+                prev = out.pop()
+                out.append((prev[0] + amt, mem, orig, n))  # later n wins
+            else:
+                out.append((amt, mem, orig, n))
+        return out
+
+    L = 10
+    for trial in range(300):
+        k = rng.randint(0, L)
+        masks = [rng.randint(1, 7) for _ in range(4)]
+        rows = []
+        for _ in range(k):
+            m = rng.choice(masks)
+            o = m | rng.choice(masks)
+            rows.append((rng.randint(1, 30), m, o, rng.randint(1, 5)))
+        layers = Layers(
+            amt=jnp.array([r[0] for r in rows] + [0] * (L - k), jnp.int32),
+            mem=jnp.array([r[1] for r in rows] + [0] * (L - k), jnp.int32),
+            orig=jnp.array([r[2] for r in rows] + [0] * (L - k), jnp.int32),
+            n=jnp.array([r[3] for r in rows] + [0] * (L - k), jnp.int32),
+            count=jnp.asarray(k, jnp.int32),
+            overflow=jnp.zeros((), jnp.bool_),
+        )
+        got = merge_bets(layers)
+        want = py_merge(rows)
+        assert int(got.count) == len(want), (trial, rows, want)
+        for i, (amt, mem, orig, n) in enumerate(want):
+            assert int(got.amt[i]) == amt, (trial, i, rows)
+            assert int(got.mem[i]) == mem
+            assert int(got.orig[i]) == orig
+            assert int(got.n[i]) == n
+        for i in range(len(want), L):
+            assert int(got.amt[i]) == 0 and int(got.mem[i]) == 0

@@ -212,3 +212,42 @@ def sharded_selfplay(
     sharding = NamedSharding(mesh, P(AXIS))
     keys = jax.device_put(keys, sharding)
     return play_hands(keys, cfg, num_hands=num_hands)
+
+
+def sharded_selfplay_perpetual(
+    mesh: Mesh,
+    key,
+    cfg: TableConfig,
+    tables_per_device: int = 1 << 12,
+    n_steps: int = 64,
+):
+    """Steady-state perpetual tables sharded over the mesh: the production
+    throughput shape (config 4 at scale). Returns (final_states,
+    total_hands) with the hand count psum-free (the final reduction is a
+    plain sum over the sharded hand_idx field, which XLA lowers to an
+    all-reduce over ICI).
+    """
+    from montecarlo_tpu.rollout.selfplay import play_hands_perpetual
+
+    n_dev = mesh.devices.size
+    keys = jax.random.split(key, n_dev * tables_per_device)
+    keys = jax.device_put(keys, NamedSharding(mesh, P(AXIS)))
+    return play_hands_perpetual(keys, cfg, n_steps)
+
+
+def sharded_tournaments(
+    mesh: Mesh,
+    key,
+    cfg: TableConfig,
+    tables_per_device: int = 1 << 10,
+    max_hands: int = 64,
+):
+    """Tournaments sharded over the mesh; returns (final, busted_at,
+    seat_stacks) exactly like ``play_tournament`` with the tables axis
+    distributed."""
+    from montecarlo_tpu.rollout.selfplay import play_tournament
+
+    n_dev = mesh.devices.size
+    keys = jax.random.split(key, n_dev * tables_per_device)
+    keys = jax.device_put(keys, NamedSharding(mesh, P(AXIS)))
+    return play_tournament(keys, cfg, max_hands)

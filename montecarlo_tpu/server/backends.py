@@ -144,17 +144,20 @@ class NativeBackend:
 
 
 class JaxBackend:
-    """Device engine stepped from the host (always available)."""
+    """Device engine stepped from the host (always available; the only
+    backend supporting the "standard" and "tournament" rule sets)."""
 
     def __init__(self, n: int, small: int, big: int, seed: int,
-                 stacks: Sequence[int]):
+                 stacks: Sequence[int], rules: str = "reference"):
         import jax
         import jax.numpy as jnp
 
         from montecarlo_tpu.engine.state import TableConfig, init_state
 
         self.n = n
-        cfg = TableConfig(num_seats=n, small_blind=small, big_blind=big)
+        self.rules = rules
+        cfg = TableConfig(num_seats=n, small_blind=small, big_blind=big,
+                          rules=rules)
         state = init_state(jax.random.key(seed), cfg)
         posted = np.asarray(state.stacks) - cfg.starting_stack
         self.state = state._replace(
@@ -198,6 +201,8 @@ class JaxBackend:
         return self._seat(int(pos)) if bool(exists) else None
 
     def act(self, amt: int) -> bool:
+        """Apply one action; True iff the hand ended AND a fresh hand was
+        dealt (a tournament table that froze returns False — no new deal)."""
         import jax.numpy as jnp
 
         from montecarlo_tpu.engine.state import next_hand
@@ -206,15 +211,24 @@ class JaxBackend:
             stage_end, stage_transition,
         )
 
+        if self.rules == "tournament" and bool(self.state.hand_over):
+            return False  # frozen table: one player holds all the chips
+        r = self.rules
         st = apply_action(self.state,
-                          clamp_action(self.state, jnp.asarray(amt, jnp.int32)))
+                          clamp_action(self.state, jnp.asarray(amt, jnp.int32)),
+                          rules=r)
+        # board-action order (board.clj:122-129): game end, else street
+        # transition(s) — standard/tournament chain closed-betting streets
+        # to the river (up to 4), re-checking game end after each.
+        n_adv = 1 if r == "reference" else 4
+        for _ in range(n_adv):
+            if bool(stage_end(st)) and not bool(game_end(st)):
+                st = stage_transition(st, rules=r)
         if bool(game_end(st)):
-            self.state = next_hand(settle_showdown(st))
-            return True
-        if bool(stage_end(st)):
-            self.state = stage_transition(st)
-        else:
-            self.state = st
+            prev_idx = int(st.hand_idx)
+            self.state = next_hand(settle_showdown(st, rules=r), rules=r)
+            return int(self.state.hand_idx) > prev_idx
+        self.state = st
         return False
 
     def board_json(self, ids: Sequence[str]) -> Dict:
@@ -224,7 +238,11 @@ class JaxBackend:
 
 
 def make_backend(kind: str, n: int, small: int, big: int, seed: int,
-                 stacks: Sequence[int]):
+                 stacks: Sequence[int], rules: str = "reference"):
+    if rules != "reference":
+        # The C++ table implements the reference semantics only; standard
+        # and tournament rooms run on the device engine.
+        return JaxBackend(n, small, big, seed, stacks, rules=rules)
     if kind == "native":
         return NativeBackend(n, small, big, seed, stacks)
     if kind == "jax":

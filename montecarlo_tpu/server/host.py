@@ -49,12 +49,14 @@ class Room:
     def __init__(self, name: str, n: int, blinds: Dict[str, int], seed: int = 0,
                  backend: str = "auto",
                  action_timeout: Optional[float] = None,
-                 default_action: int = -1):
+                 default_action: int = -1,
+                 rules: str = "reference"):
         self.name = name
         self.n = n
         self.blinds = dict(blinds)
         self.seed = seed
         self.backend_kind = backend
+        self.rules = rules
         self.joined: List[str] = []   # join order
         self.seats: List[str] = []    # seat order (reverse join order)
         self.engine = None
@@ -85,7 +87,8 @@ class Room:
         self.engine = make_backend(
             self.backend_kind, self.n,
             self.blinds.get("small", 5), self.blinds.get("big", 10),
-            self.seed, [registry.stacks[p] for p in self.seats])
+            self.seed, [registry.stacks[p] for p in self.seats],
+            rules=self.rules)
         self.pending = {p: None for p in self.seats}
         self._sync_registry(registry)
         self._deal_messages(registry)
@@ -215,10 +218,19 @@ class Registry:
         if not isinstance(timeout, (int, float)) or isinstance(timeout, bool) \
                 or timeout <= 0:
             timeout = None
+        # "rules" is a protocol extension: "reference" (default, bit-exact
+        # Clojure semantics), "standard" (real poker accounting), or
+        # "tournament" (standard + true elimination; the table freezes when
+        # one player holds all the chips).
+        rules = req.get("rules", "reference")
+        if rules not in ("reference", "standard", "tournament"):
+            return self.send(pid, error(
+                -5, 'rules must be "reference", "standard" or "tournament"'))
         self.rooms[name] = Room(name, n, blinds, seed=len(self.rooms),
                                 backend=self.backend,
                                 action_timeout=timeout,
-                                default_action=self.default_action)
+                                default_action=self.default_action,
+                                rules=rules)
         self.send(pid, OK)
 
     def join_room(self, pid: str, req: Dict):

@@ -106,3 +106,32 @@ def test_dp_train_step_on_mesh():
     delta = sum(float(jnp.abs(a - b).sum())
                 for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)))
     assert delta > 0
+
+
+def test_sharded_perpetual_selfplay():
+    from montecarlo_tpu.parallel.mesh import sharded_selfplay_perpetual
+
+    mesh = make_mesh()
+    cfg = TableConfig(num_seats=6, max_layers=8, max_pot_layers=16)
+    final, hands = sharded_selfplay_perpetual(
+        mesh, jax.random.key(7), cfg, tables_per_device=16, n_steps=64)
+    assert int(hands) > 8 * 16  # every table finishes at least one hand
+    assert final.stacks.shape == (128, 6)
+
+
+def test_sharded_tournaments():
+    from montecarlo_tpu.parallel.mesh import sharded_tournaments
+    from montecarlo_tpu.rollout.selfplay import tournament_placements
+
+    mesh = make_mesh()
+    cfg = TableConfig(num_seats=2, rules="tournament",
+                      small_blind=25, big_blind=50,
+                      max_layers=8, max_pot_layers=16)
+    final, busted, stacks = sharded_tournaments(
+        mesh, jax.random.key(8), cfg, tables_per_device=16, max_hands=48)
+    s = np.asarray(stacks, np.int64)
+    np.testing.assert_array_equal(s.sum(axis=1), np.full(128, 200))
+    done = (s > 0).sum(axis=1) == 1
+    assert done.mean() > 0.9
+    places = tournament_placements(busted, stacks)
+    assert places.shape == (128, 2)

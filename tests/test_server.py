@@ -384,3 +384,64 @@ def test_cross_room_global_stacks_identical_wire(backend):
     # Room b's LIVE engine shows the globally-synced stacks (not the
     # 100-chip snapshot it was created with).
     assert live_j == live_n
+
+
+def test_new_room_rules_validation():
+    reg, (a, b, c) = make3()
+    reg.dispatch(a.pid, {"type": "new_room", "name": "r", "n": 2,
+                         "rules": "calvinball"})
+    assert a.msgs[-1] == {
+        "status": -5,
+        "msg": 'rules must be "reference", "standard" or "tournament"'}
+    reg.dispatch(a.pid, {"type": "new_room", "name": "r", "n": 2,
+                         "rules": "standard"})
+    assert a.msgs[-1] == {"status": 0, "msg": "OK"}
+
+
+def test_standard_rules_room_conserves_chips():
+    # Standard/tournament rooms always run on the device engine (the C++
+    # table implements reference semantics only).
+    reg = Registry()
+    a, b = Client(reg), Client(reg)
+    reg.dispatch(a.pid, {"type": "new_room", "name": "s", "n": 2,
+                         "rules": "standard"})
+    reg.dispatch(a.pid, {"type": "join_room", "name": "s"})
+    reg.dispatch(b.pid, {"type": "join_room", "name": "s"})
+    room = reg.rooms["s"]
+    assert type(room.engine).__name__ == "JaxBackend"
+    assert room.engine.rules == "standard"
+    for _ in range(4):  # four folds = four settled hands
+        head = room.head_pid()
+        assert head is not None
+        reg.dispatch(head, {"type": "play", "name": "s", "amt": -1})
+    assert room.engine.info()["hand_idx"] == 4
+    # Real accounting: global stacks + the fresh hand's posted blinds
+    # account for exactly the 200 table chips (standard rules conserve;
+    # reference rules could have minted via n-inflation here).
+    assert reg.stacks[a.pid] + reg.stacks[b.pid] == 200 - 15
+
+
+def test_tournament_room_freezes_when_won():
+    reg = Registry()
+    a, b = Client(reg), Client(reg)
+    reg.dispatch(a.pid, {"type": "new_room", "name": "t", "n": 2,
+                         "rules": "tournament",
+                         "blinds": {"small": 25, "big": 50}})
+    reg.dispatch(a.pid, {"type": "join_room", "name": "t"})
+    reg.dispatch(b.pid, {"type": "join_room", "name": "t"})
+    room = reg.rooms["t"]
+    # Jam every decision until somebody holds all 200 chips.
+    for _ in range(200):
+        head = room.head_pid()
+        if head is None:
+            break
+        reg.dispatch(head, {"type": "play", "name": "t", "amt": 500})
+    stacks = sorted(reg.stacks[p] for p in (a.pid, b.pid))
+    assert stacks == [0, 200], stacks
+    # Frozen: no head to act, further plays are silent no-ops.
+    assert room.head_pid() is None
+    t0 = room.engine.info()["time"]
+    reg.dispatch(a.pid, {"type": "play", "name": "t", "amt": 0})
+    reg.dispatch(b.pid, {"type": "play", "name": "t", "amt": 0})
+    assert room.engine.info()["time"] == t0
+    assert bool(room.engine.state.hand_over)

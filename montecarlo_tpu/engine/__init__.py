@@ -16,6 +16,13 @@ from montecarlo_tpu.engine.bets import (  # noqa: F401
     total_bet,
     update_bets,
 )
+from montecarlo_tpu.engine.street import (  # noqa: F401
+    Street,
+    bets_as_layers,
+    bets_needed,
+    bets_total,
+    empty_street,
+)
 from montecarlo_tpu.engine.state import (  # noqa: F401
     TableConfig,
     TableState,

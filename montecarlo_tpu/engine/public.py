@@ -71,6 +71,9 @@ def public_board(state: TableState, ids: Sequence[str]) -> Dict:
     order (the reference serializes Clojure sets, whose order is
     unspecified).
     """
+    from montecarlo_tpu.engine.street import bets_as_layers
+
+    state = state._replace(bets=bets_as_layers(state.bets, state.folded))
     st = _np(state)
     P = st.num_seats
     ids_pos = ids_by_position(st, ids)

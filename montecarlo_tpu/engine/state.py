@@ -39,6 +39,11 @@ import jax.numpy as jnp
 
 from montecarlo_tpu.cards import NUM_CARDS
 from montecarlo_tpu.engine.bets import Layers, empty_layers
+from montecarlo_tpu.engine.street import (
+    bets_empty_like,
+    bets_thread,
+    make_empty_bets,
+)
 
 I32 = jnp.int32
 
@@ -69,6 +74,12 @@ class TableConfig:
     # advance over eliminated seats, and the table freezes once one player
     # holds all the chips (next_hand returns a terminal hand_over state).
     rules: str = "reference"
+    # Street bet-state implementation: "layers" is the literal four-column
+    # transcription of bet.clj (engine.bets); "levels" is the minimal
+    # boundary/contribution form (engine.street) — trajectory-equal (pinned
+    # by tests/test_street.py) and faster per action, but requires positive
+    # blinds (a zero-chip post must not create a layer).
+    bets_impl: str = "layers"
 
 
 class TableState(NamedTuple):
@@ -105,6 +116,10 @@ class TableState(NamedTuple):
 def init_state(key: jax.Array, cfg: TableConfig) -> TableState:
     """Fresh table: full stacks, button at seat 0, first hand dealt."""
     P = cfg.num_seats
+    if cfg.bets_impl == "levels":
+        assert cfg.small_blind > 0 and cfg.big_blind > 0, (
+            "the levels street form requires positive blinds "
+            "(zero-chip posts must not create a layer)")
     ones = jnp.ones((P,), jnp.bool_)
     state = TableState(
         key=key,
@@ -123,7 +138,7 @@ def init_state(key: jax.Array, cfg: TableConfig) -> TableState:
         order_mask=ones,
         to_act=ones,
         stacks=jnp.full((P,), cfg.starting_stack, I32),
-        bets=empty_layers(cfg.max_layers, P),
+        bets=make_empty_bets(cfg.bets_impl, cfg.max_layers, P),
         pots=empty_layers(cfg.max_pot_layers, P),
         small_blind=jnp.asarray(cfg.small_blind, I32),
         big_blind=jnp.asarray(cfg.big_blind, I32),
@@ -144,8 +159,6 @@ def begin_hand(state: TableState, rules: str = "reference") -> TableState:
     (stacks go negative, ``gameplay.clj:83-88``).
     """
     P = state.num_seats
-    from montecarlo_tpu.engine.bets import update_bets  # local: avoid cycle
-
     deck = jax.random.permutation(
         jax.random.fold_in(state.key, state.hand_idx), NUM_CARDS
     ).astype(I32)
@@ -163,7 +176,7 @@ def begin_hand(state: TableState, rules: str = "reference") -> TableState:
     ])
 
     ones = jnp.ones((P,), jnp.bool_)
-    bets = empty_layers(state.bets.capacity, P)
+    bets = bets_empty_like(state.bets, P)
 
     # play-blinds (gameplay.clj:77-88): position 0 posts small, position 1
     # posts big; play-order drops 2; blinds do not touch remaining-players
@@ -185,7 +198,7 @@ def begin_hand(state: TableState, rules: str = "reference") -> TableState:
             stack_at = jnp.sum(jnp.where(sel, stacks, 0))
             pay = jnp.clip(amount, 0, jnp.maximum(stack_at, 0))
             stacks = stacks - jnp.where(sel, pay, 0)
-            posted = update_bets(bets, pay, pos)
+            posted = bets_thread(bets, pay, pos)
             bets = jax.tree.map(
                 lambda a, b: jnp.where(pay > 0, a, b), posted, bets)
             return stacks, bets
@@ -201,7 +214,7 @@ def begin_hand(state: TableState, rules: str = "reference") -> TableState:
         def post(stacks, bets, pos, amount):
             pay = jnp.clip(amount, 0, jnp.maximum(stacks[pos], 0))
             stacks = stacks.at[pos].add(-pay)
-            posted = update_bets(bets, pay, pos)
+            posted = bets_thread(bets, pay, pos)
             bets = jax.tree.map(
                 lambda a, b: jnp.where(pay > 0, a, b), posted, bets)
             return stacks, bets
@@ -212,9 +225,9 @@ def begin_hand(state: TableState, rules: str = "reference") -> TableState:
         actable = ~all_in
     else:
         stacks = stacks.at[0].add(-state.small_blind)
-        bets = update_bets(bets, state.small_blind, 0)
+        bets = bets_thread(bets, state.small_blind, 0)
         stacks = stacks.at[1].add(-state.big_blind)
-        bets = update_bets(bets, state.big_blind, 1)
+        bets = bets_thread(bets, state.big_blind, 1)
         all_in = jnp.zeros((P,), jnp.bool_)
         actable = jnp.ones((P,), jnp.bool_)
 
@@ -296,7 +309,7 @@ def next_hand(state: TableState, rules: str = "reference") -> TableState:
         hand_idx=state.hand_idx + 1,
     ), rules=rules)
     frozen = state._replace(
-        bets=empty_layers(state.bets.capacity, P),
+        bets=bets_empty_like(state.bets, P),
         pots=empty_layers(state.pots.capacity, P),
         to_act=jnp.zeros((P,), jnp.bool_),
         order_mask=jnp.zeros((P,), jnp.bool_),

@@ -42,15 +42,14 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from montecarlo_tpu.engine.bets import (
-    Layers,
-    empty_layers,
-    member_matrix,
-    merge_bets,
-    needed_bet,
-    remove_player,
-    total_bet,
-    update_bets,
+from montecarlo_tpu.engine.bets import Layers, member_matrix
+from montecarlo_tpu.engine.street import (
+    bets_as_layers,
+    bets_empty_like,
+    bets_fold_check_merge,
+    bets_needed,
+    bets_thread,
+    bets_total,
 )
 from montecarlo_tpu.engine.state import TableState, next_hand
 from montecarlo_tpu.ops.evaluator import eval7_from_cards
@@ -89,7 +88,7 @@ def clamp_action(state: TableState, action) -> jax.Array:
     clamped to ``[0, stack - needed]`` — an unaffordable raise becomes a
     call. Fold/call pass through."""
     seat, _, _ = head_info(state)
-    cap = _pick(state.stacks, seat) - needed_bet(state.bets, seat)
+    cap = _pick(state.stacks, seat) - bets_needed(state.bets, seat)
     clamped = jnp.maximum(0, jnp.minimum(action, cap))
     return jnp.where(action > 0, clamped, action)
 
@@ -119,8 +118,8 @@ def apply_action(state: TableState, action, rules: str = "reference"
     r = jnp.maximum(action, 0).astype(I32)
 
     bets = state.bets
-    bet_amt = total_bet(bets)
-    delta = needed_bet(bets, seat)
+    bet_amt = bets_total(bets)
+    delta = bets_needed(bets, seat)
     stack = _pick(state.stacks, seat)
 
     is_check = is_call & (bet_amt == 0)
@@ -141,10 +140,10 @@ def apply_action(state: TableState, action, rules: str = "reference"
         amount = jnp.where(is_raise, r + bet_amt, bet_amt)
         paid = jnp.where(threads, jnp.where(is_raise, delta + r, delta), 0)
 
-    threaded = update_bets(bets, amount, seat)
+    threaded = bets_thread(bets, amount, seat)
     # Fold and check both end in merge-bets (fold after member removal,
     # board.clj:37-41 / :67-71): select the input first, merge once.
-    merged = merge_bets(_select_tree(is_fold, remove_player(bets, seat), bets))
+    merged = bets_fold_check_merge(bets, is_fold, seat)
     new_bets = _select_tree(is_fold | is_check, merged, threaded)
 
     went_all_in = threads & (paid == stack)
@@ -228,8 +227,9 @@ def stage_transition(state: TableState, rules: str = "reference") -> TableState:
     return state._replace(
         n_community=state.n_community + reveal,
         to_act=actable,
-        pots=append_layers(state.pots, state.bets),
-        bets=empty_layers(state.bets.capacity, state.num_seats),
+        pots=append_layers(state.pots,
+                           bets_as_layers(state.bets, state.folded)),
+        bets=bets_empty_like(state.bets, state.num_seats),
         order_mask=actable,
         cursor=jnp.zeros((), I32),
         stage=state.stage + 1,
@@ -272,7 +272,8 @@ def settle_showdown(state: TableState, rules: str = "reference") -> TableState:
     ``amt * |contributors|`` (exactly the chips put in), odd chips to the
     first-position winner — chips conserve exactly.
     """
-    pots = append_layers(state.pots, state.bets)
+    pots = append_layers(state.pots,
+                         bets_as_layers(state.bets, state.folded))
     values = hand_values_cmp(state).astype(jnp.uint32)
 
     PL = pots.capacity
@@ -304,7 +305,7 @@ def settle_showdown(state: TableState, rules: str = "reference") -> TableState:
     return state._replace(
         stacks=state.stacks + payout,
         pots=pots,
-        bets=empty_layers(state.bets.capacity, state.num_seats),
+        bets=bets_empty_like(state.bets, state.num_seats),
         hand_over=jnp.ones((), jnp.bool_),
     )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from montecarlo_tpu.cards import NUM_RANKS
-from montecarlo_tpu.engine.bets import needed_bet, total_bet
+from montecarlo_tpu.engine.street import bets_needed, bets_total
 from montecarlo_tpu.engine.state import TableState
 from montecarlo_tpu.engine.step import _pick, head_info
 from montecarlo_tpu.handval import CAT_SHIFT
@@ -42,10 +42,10 @@ def state_features(state: TableState) -> jnp.ndarray:
     P = state.num_seats
     seat, _, _ = head_info(state)
 
-    pot = (total_bet(state.bets)
+    pot = (bets_total(state.bets)
            + jnp.sum(jnp.where(jnp.arange(state.pots.capacity)
                                < state.pots.count, state.pots.amt, 0)))
-    needed = needed_bet(state.bets, seat)
+    needed = bets_needed(state.bets, seat)
     stack = _pick(state.stacks, seat)
     bb = jnp.maximum(state.big_blind, 1)
 

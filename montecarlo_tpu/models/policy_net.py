@@ -13,7 +13,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from montecarlo_tpu.engine.bets import needed_bet, total_bet
+from montecarlo_tpu.engine.street import bets_needed, bets_total
 from montecarlo_tpu.engine.step import head_info
 from montecarlo_tpu.models.features import NUM_FEATURES, state_features
 
@@ -56,10 +56,10 @@ def policy_logits(params: MLPParams, feats) -> jax.Array:
 def action_from_index(idx, state) -> jax.Array:
     """Menu index -> engine action int (action.clj encoding)."""
     seat, _, _ = head_info(state)
-    pot = total_bet(state.bets) + jnp.sum(
+    pot = bets_total(state.bets) + jnp.sum(
         jnp.where(jnp.arange(state.pots.capacity) < state.pots.count,
                   state.pots.amt, 0))
-    needed = needed_bet(state.bets, seat)
+    needed = bets_needed(state.bets, seat)
     small_raise = 2 * state.big_blind
     pot_raise = jnp.maximum(pot + needed, small_raise)
     menu = jnp.stack([I32(-1), I32(0),
@@ -77,7 +77,7 @@ def net_policy(params: MLPParams):
         feats = state_features(state)
         logits = policy_logits(params, feats)
         seat, _, _ = head_info(state)
-        free = needed_bet(state.bets, seat) == 0
+        free = bets_needed(state.bets, seat) == 0
         logits = logits.at[0].add(jnp.where(free, -1e9, 0.0))
         idx = jax.random.categorical(key, logits)
         return action_from_index(idx, state)

@@ -15,7 +15,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from montecarlo_tpu.engine.bets import needed_bet
+from montecarlo_tpu.engine.street import bets_needed
 from montecarlo_tpu.engine.state import TableConfig, init_state
 from montecarlo_tpu.engine.step import (
     _pick,
@@ -55,7 +55,7 @@ def _play_hand_collect(params, state, key, learner_pos, opponent,
         logits = policy_logits(params, feats)
         # Same fold mask as net_policy (policy_net.py): folding is masked
         # exactly when the actor owes nothing — train/eval distributions match.
-        free = needed_bet(st.bets, seat) == 0
+        free = bets_needed(st.bets, seat) == 0
         logits = logits.at[0].add(jnp.where(free, -1e9, 0.0))
         idx = jax.random.categorical(k_net, logits)
         logprob = jax.nn.log_softmax(logits)[idx]

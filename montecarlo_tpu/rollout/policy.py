@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from montecarlo_tpu.engine.bets import needed_bet
+from montecarlo_tpu.engine.street import bets_needed
 from montecarlo_tpu.engine.state import TableState
 from montecarlo_tpu.engine.step import head_info
 
@@ -45,7 +45,7 @@ def random_policy(
     amt = jax.random.randint(k_amt, (), 1, max_raise + 1, dtype=I32)
 
     seat, _, _ = head_info(state)
-    owes = needed_bet(state.bets, seat) > 0
+    owes = bets_needed(state.bets, seat) > 0
     can_raise = street_raises < max_raises_per_street
 
     action = jnp.where(
@@ -87,7 +87,7 @@ def always_call(key, state, street_raises):
 def tight_policy(key, state, street_raises, fold_prob: float = 0.5):
     """Folds half the time it owes chips, otherwise calls."""
     seat, _, _ = head_info(state)
-    owes = needed_bet(state.bets, seat) > 0
+    owes = bets_needed(state.bets, seat) > 0
     u = jax.random.uniform(key)
     return jnp.where(owes & (u < fold_prob), I32(-1), I32(0))
 

@@ -18,25 +18,33 @@ from montecarlo_tpu.engine.state import TableState
 
 
 def save_states(path: str, states: TableState) -> None:
+    from montecarlo_tpu.engine.street import Street
+
     leaves = states._replace(key=jax.random.key_data(states.key))
     flat, _ = jax.tree.flatten(leaves)
+    impl = "levels" if isinstance(states.bets, Street) else "layers"
     np.savez_compressed(
-        path, **{f"leaf_{i:04d}": np.asarray(x) for i, x in enumerate(flat)})
+        path, bets_impl=np.asarray(impl),
+        **{f"leaf_{i:04d}": np.asarray(x) for i, x in enumerate(flat)})
 
 
 def load_states(path: str) -> TableState:
     with np.load(path) as data:
-        flat = [data[k] for k in sorted(data.files)]
-    # Rebuild against the TableState treedef (Layers nest inside; shapes
-    # come from the stored leaves, the template only carries structure).
+        impl = str(data["bets_impl"]) if "bets_impl" in data.files \
+            else "layers"
+        flat = [data[k] for k in sorted(data.files) if k.startswith("leaf_")]
+    # Rebuild against the TableState treedef (the street bet state nests
+    # inside; shapes come from the stored leaves, the template only carries
+    # structure — which differs between the two bets implementations).
     from montecarlo_tpu.engine.bets import empty_layers
+    from montecarlo_tpu.engine.street import make_empty_bets
 
     template = TableState(
         key=0, hand_idx=0, deck=0, hole=0, community=0, n_community=0,
         stage=0, time=0, button=0, cursor=0, in_hand=0, all_in=0,
         folded=0,
         order_mask=0, to_act=0, stacks=0,
-        bets=empty_layers(1, 1), pots=empty_layers(1, 1),
+        bets=make_empty_bets(impl, 1, 1), pots=empty_layers(1, 1),
         small_blind=0, big_blind=0, hand_over=0)
     treedef = jax.tree.structure(template)
     states = jax.tree.unflatten(treedef, [jnp.asarray(x) for x in flat])

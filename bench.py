@@ -62,13 +62,52 @@ def _run_xla(hero, villain, n):
     return best, w, t, m, "xla"
 
 
+def _run_selfplay_kernel(n_tables=1 << 20, n_steps=512):
+    """Full betting hands/sec through the whole-step Pallas engine kernel
+    (config 4): perpetual tables entirely in VMEM — policy draw, levels
+    bet algebra, street moves, showdown evaluation+payout, and the next
+    deal all inside one kernel step (gameplay.clj:122-150). Steady-state:
+    the first-deal init is outside the timed region; the overflow latch is
+    asserted so the measurement cannot silently drop a side pot."""
+    import numpy as np
+
+    from montecarlo_tpu.engine.state import TableConfig
+    from montecarlo_tpu.ops.pallas_engine import (
+        pack_state,
+        run_perpetual_prng,
+        unpack_field,
+    )
+
+    cfg = TableConfig(num_seats=6)
+    P = cfg.num_seats
+    keys = jax.random.split(jax.random.key(0), n_tables)
+    decks = jax.vmap(lambda k: jax.random.permutation(k, 52))(keys)
+    base = 2 * P
+    pos = list(range(base)) + [base + 1, base + 2, base + 3, base + 5,
+                               base + 7]
+    state0 = jax.device_put(pack_state(cfg, np.asarray(decks)[:, pos]))
+
+    def once(seed):
+        t0 = time.perf_counter()
+        out = run_perpetual_prng(seed, state0, P, n_steps,
+                                 cfg.small_blind, cfg.big_blind)
+        hands = int(jnp.sum(unpack_field(out, cfg, "hand_ct")))
+        dt = time.perf_counter() - t0
+        assert hands > 0
+        assert int(jnp.sum(unpack_field(out, cfg, "overflow"))) == 0
+        return dt, hands
+
+    once(0)  # warmup/compile
+    best, hands = min(once(i + 1) for i in range(3))
+    return hands / best
+
+
 def _run_selfplay(n_tables=1 << 20, n_steps=128):
-    """Full betting hands/sec through the vmapped engine (config 4):
-    steady-state perpetual tables — every step plays a real action, each
-    hand settles and redeals inside the step (gameplay.clj:149-150).
+    """Full betting hands/sec through the vmapped XLA engine (the portable
+    path; the Pallas whole-step kernel above is ~10x faster on TPU).
 
     Layer capacities are the measured envelope for 6-max random play
-    (L=8/PL=16: zero overflows across 20.7M audited hands; the engine
+    (L=8/PL=16: zero overflows across 51.7M audited hands; the engine
     latches an overflow flag, asserted below, so the measurement cannot
     silently drop a side pot)."""
     import jax.numpy as jnp
@@ -107,11 +146,18 @@ def main():
     n = m
 
     try:
-        hands_per_sec = _run_selfplay()
-    except Exception as e:
-        print(f"selfplay bench failed ({type(e).__name__}: {e})",
-              file=sys.stderr)
-        hands_per_sec = None
+        hands_per_sec = _run_selfplay_kernel()
+        hands_backend = "pallas"
+    except Exception as e:  # non-TPU backends lack the Mosaic PRNG
+        print(f"kernel selfplay unavailable ({type(e).__name__}); "
+              f"XLA engine fallback", file=sys.stderr)
+        try:
+            hands_per_sec = _run_selfplay()
+            hands_backend = "xla"
+        except Exception as e2:
+            print(f"selfplay bench failed ({type(e2).__name__}: {e2})",
+                  file=sys.stderr)
+            hands_per_sec, hands_backend = None, None
 
     rate = n / best
     print(json.dumps({
@@ -127,6 +173,7 @@ def main():
         "unit": "rollouts/s",
         "vs_baseline": rate / NORTH_STAR,
         "betting_hands_per_sec": hands_per_sec,
+        "betting_backend": hands_backend,
     }))
 
 

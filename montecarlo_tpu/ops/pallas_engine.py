@@ -1,0 +1,624 @@
+"""Whole-step Pallas TPU kernel: the complete betting engine in VMEM.
+
+The measured lesson of the XLA perpetual program (PERF.md): the fused
+``step_table`` scan is bound by HBM materialization between fusion
+boundaries, not by VPU op count — levels algebra, layout, caps, and carry
+experiments all moved it <±8%. This kernel removes that bound entirely:
+a block of 1024 tables (one (8, 128) tile per state row) lives in VMEM for
+the whole launch, and HBM sees exactly one state read + one write per
+launch instead of per step.
+
+Layout: tables occupy the (8, 128) trailing tile; seat/layer/pot axes are
+small LEADING dims of stacked arrays ([P, 8, 128] seats, [L, 8, 128]
+levels, [4, L, 8, 128] per-street pot slots), so the whole step traces to
+a few hundred ops (a python-list unrolling of the same logic measured 60+s
+of XLA compile for the settlement block alone).
+
+Semantics: the REFERENCE rules of ``engine/step.py`` (``board.clj:31-97``,
+``gameplay.clj:94-150``) on the levels street form (``engine/street.py``):
+
+- action encoding negative/0/positive (``action.clj:12-29``), player-side
+  raise clamp (``player.clj:24-32``);
+- levels street state (boundaries, per-layer n, per-seat contrib) with the
+  n-inflation quirk, merge == orphan-boundary deletion;
+- exact-equality all-ins leave ``:players`` (excluded from showdown,
+  ``board.clj:53-60``), integer pot splits with vanished remainders
+  (``gameplay.clj:112``), button rotation by one (``:136-137``),
+  perpetual redeal (``:149-150``).
+
+Pots are four per-street slots of L layers ((amt, member bitmask, n) —
+``orig`` is not needed under reference payout rules). Street flushes write
+the slot of the finished street; settlement scans all 4*L rows. Reference
+payouts are per-layer independent, so the slot layout pays identically to
+the reference's appended pot list.
+
+Two modes:
+
+- ``deterministic``: per-step raw actions and per-hand 17-card deals come
+  from input refs. No PRNG -> runs under ``interpret=True`` on CPU, where
+  ``tests/test_pallas_engine.py`` pins trajectory equality against the XLA
+  engine driven with the same injected streams.
+- ``prng``: the production form — policy draws and deals use the hardware
+  PRNG (``pltpu.prng_*``), one u32 word per bounded draw (the measured
+  bias trade documented in ``ops/pallas_equity.py``). Distributionally
+  identical to ``rollout.policy.random_policy`` + threefry deals; validated
+  on hardware by ``scripts/validate_tpu.py`` (compiled deterministic mode
+  vs the XLA engine, plus statistical agreement of the PRNG mode).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+
+# Tables per block = sublanes x 128 lanes. Bigger tiles give each op more
+# independent lanes (ILP) at the cost of VMEM; override for experiments
+# via MC_ENGINE_TILE="32,128".
+TILE = tuple(int(x) for x in
+             os.environ.get("MC_ENGINE_TILE", "8,128").split(","))
+TABLES_PER_BLOCK = TILE[0] * TILE[1]
+
+# Street layer capacity. L=6 covered 51.7M audited random 6-max hands with
+# zero overflows (PERF.md); the kernel latches an overflow flag regardless.
+L = 6
+
+# Policy constants — must match rollout.policy.random_policy defaults.
+FOLD_P_BITS = int(0.15 * 2**32)
+RAISE_P_BITS = int((0.15 + 0.30) * 2**32)
+MAX_RAISE = 20
+MAX_RAISES_PER_STREET = 2
+
+
+def _field_layout(P: int):
+    """Name -> (offset, rows) map of the packed per-table state. Multi-row
+    fields are stored as contiguous row ranges of the [F, 8, 128] block."""
+    fields = [
+        ("stage", 1), ("cursor", 1), ("street_raises", 1),
+        ("folded", 1), ("in_hand", 1), ("to_act", 1), ("order", 1),
+        ("hand_ct", 1), ("overflow", 1),
+        ("stacks", P), ("contrib", P), ("hole0", P), ("hole1", P),
+        ("board", 5), ("lvl", L), ("ln", L),
+        ("pot_amt", 4 * L), ("pot_mem", 4 * L), ("pot_n", 4 * L),
+    ]
+    layout, off = {}, 0
+    for name, rows in fields:
+        layout[name] = (off, rows)
+        off += rows
+    return layout, off
+
+
+def _unpack(block, layout):
+    """[F, 8, 128] array -> dict of scalar [8,128] / stacked [R,8,128]."""
+    st = {}
+    for name, (off, rows) in layout.items():
+        st[name] = block[off] if rows == 1 else block[off:off + rows]
+    return st
+
+
+def _pack(st, layout, F):
+    # layout insertion order == ascending offsets (built that way).
+    parts = [st[name][None] if n == 1 else st[name]
+             for name, (off, n) in layout.items()]
+    return jnp.concatenate(parts, axis=0)
+
+
+def _iota(n):
+    """[n, 1, 1] leading-axis iota (TPU needs >=2D iota)."""
+    return jax.lax.broadcasted_iota(I32, (n, 1, 1), 0)
+
+
+def _pick(stacked, idx):
+    """stacked[idx] for an [8,128] idx (one-hot reduce over the lead axis)."""
+    return jnp.sum(jnp.where(_iota(stacked.shape[0]) == idx[None], stacked,
+                             0), axis=0)
+
+
+def _shift_down(x):
+    """x[j] -> x[j-1] along the lead axis (zeros into row 0)."""
+    return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+
+def _seat_bits(P):
+    """[P, 1, 1] bit per seat."""
+    return jnp.left_shift(jnp.ones((P, 1, 1), I32), _iota(P))
+
+
+def _mask_bits(bm, P):
+    """[8,128] seat bitmask -> [P, 8, 128] 0/1 per seat."""
+    return jnp.right_shift(bm[None], _iota(P)) & 1
+
+
+def _head_info(st, P):
+    """First unmasked play-order position from cursor (step.py:head_info)."""
+    prio = (_iota(P) - st["cursor"][None]) % P
+    on = _mask_bits(st["order"], P) != 0
+    best = jnp.min(jnp.where(on, prio, P), axis=0)
+    head = (st["cursor"] + best) % P
+    return head, (head + 1) % P, st["order"] != 0
+
+
+def _street_total(lvl):
+    """Top boundary == total standing bet (dead rows are 0)."""
+    return jnp.max(lvl, axis=0)
+
+
+def _street_update(lvl, ln, amount, do):
+    """Levels-form ``update-bets`` (street.py:street_update): +1 the n of
+    covered levels, sorted-insert a new boundary. Dead rows are 0."""
+    valid = lvl > 0
+    cnt = jnp.sum(valid.astype(I32), axis=0)
+    a = amount[None]
+    n_inc = ln + (valid & (lvl <= a)).astype(I32)
+    exists = jnp.any(valid & (lvl == a), axis=0)
+    pos = jnp.sum((valid & (lvl < a)).astype(I32), axis=0)
+    new_n = jnp.where(pos == cnt, 1, _pick(ln, pos) + 1)
+
+    rows = _iota(L)
+    below, at = rows < pos[None], rows == pos[None]
+    ins_lvl = jnp.where(below, lvl, jnp.where(at, a, _shift_down(lvl)))
+    ins_ln = jnp.where(below, n_inc,
+                       jnp.where(at, new_n[None], _shift_down(n_inc)))
+    do_insert = do & ~exists
+    out_lvl = jnp.where(do_insert[None], ins_lvl, lvl)
+    out_ln = jnp.where(do_insert[None], ins_ln,
+                       jnp.where(do[None], n_inc, ln))
+    return out_lvl, out_ln, do_insert & (cnt >= L)
+
+
+def _street_merge(lvl, ln, contrib, do):
+    """Levels-form ``merge-bets`` (street.py:street_merge): delete
+    boundaries no contribution matches, compact the two columns."""
+    matched = jnp.any(contrib[None] == lvl[:, None], axis=1)  # [L, 8, 128]
+    keep = matched & (lvl > 0)
+    # prefix sum over the (static, small) layer axis — Mosaic has no cumsum
+    runs, run = [], None
+    for j in range(L):
+        run = keep[j].astype(I32) if run is None else run + keep[j]
+        runs.append(run)
+    rank = jnp.stack(runs, axis=0) - 1
+    sel = (rank[None] == _iota(L)[:, None]) & keep[None]  # [out, in, 8, 128]
+    out_lvl = jnp.sum(jnp.where(sel, lvl[None], 0), axis=1)
+    out_ln = jnp.sum(jnp.where(sel, ln[None], 0), axis=1)
+    return (jnp.where(do[None], out_lvl, lvl),
+            jnp.where(do[None], out_ln, ln))
+
+
+def _suit_masks(cards):
+    """Suit masks for a list of card-id arrays of any (equal) shape
+    (pallas_equity._masks_of packed two-planes construction)."""
+    pa = jnp.zeros_like(cards[0])
+    pb = jnp.zeros_like(cards[0])
+    one = jnp.ones_like(cards[0])
+    for card in cards:
+        suit = jnp.right_shift(card * 5, 6)
+        p = (card - 13 * suit + 2) | jnp.left_shift(suit & 1, 4)
+        bitv = jnp.left_shift(one, p)
+        hi = suit > 1
+        pa = pa | jnp.where(hi, 0, bitv)
+        pb = pb | jnp.where(hi, bitv, 0)
+    mask15 = (1 << 15) - 1
+    return [pa & mask15, jnp.right_shift(pa, 16) & mask15,
+            pb & mask15, jnp.right_shift(pb, 16) & mask15]
+
+
+def _sample_cards(shape, k):
+    """k distinct cards from 52 via ordered draws + bubble insertion
+    (pallas_equity._sample_cards with an empty dead list). Returns
+    [k] + shape stacked card ids."""
+    draws = [
+        (pltpu.prng_random_bits(shape).astype(jnp.uint32)
+         % jnp.uint32(52 - t)).astype(I32)
+        for t in range(k)
+    ]
+    sorted_chosen, cards = [], []
+    for t in range(k):
+        x = draws[t]
+        for c in sorted_chosen:
+            x = x + (x >= c).astype(I32)
+        new_sorted, carry = [], x
+        for c in sorted_chosen:
+            new_sorted.append(jnp.minimum(carry, c))
+            carry = jnp.maximum(carry, c)
+        new_sorted.append(carry)
+        sorted_chosen = new_sorted
+        cards.append(x)
+    return jnp.stack(cards, axis=0)
+
+
+def _engine_step(st, raw_action, new_cards, P, sb, bb):
+    """One ``step_table`` on a block dict (tables = trailing (8, 128)).
+
+    ``raw_action``: [8,128] pre-clamp policy action. ``new_cards``:
+    [2P+5, 8, 128] next hand's deal. Mirrors engine/step.py:step_table
+    under reference rules; every jnp op is Mosaic-lowerable.
+    """
+    from montecarlo_tpu.ops.evaluator import eval_masks_cmp_impl
+
+    zero = jnp.zeros_like(st["stage"])
+    head, cursor_after, exists = _head_info(st, P)
+    head_onehot = _iota(P) == head[None]  # [P, 8, 128]
+    head_bit = _pick(_seat_bits(P) + zero[None], head)
+
+    # --- totals / clamp (street.py, step.py:clamp_action) ---
+    total = _street_total(st["lvl"])
+    delta = total - _pick(st["contrib"], head)
+    stack_head = _pick(st["stacks"], head)
+    cap = stack_head - delta
+    clamped = jnp.maximum(0, jnp.minimum(raw_action, cap))
+    action = jnp.where(raw_action > 0, clamped, raw_action)
+
+    is_fold = action < 0
+    is_raise = action > 0
+    is_call = action == 0
+    r = jnp.maximum(action, 0)
+    is_check = is_call & (total == 0)
+    threads = (is_call & (total > 0)) | is_raise
+
+    # --- reference-rules payment (step.py:apply_action) ---
+    amount = jnp.where(is_raise, r + total, total)
+    paid = jnp.where(threads, jnp.where(is_raise, delta + r, delta), 0)
+
+    up_lvl, up_ln, ovf = _street_update(st["lvl"], st["ln"], amount, threads)
+    do_merge = is_fold | is_check
+    mg_lvl, mg_ln = _street_merge(st["lvl"], st["ln"], st["contrib"],
+                                  do_merge)
+    lvl = jnp.where(do_merge[None], mg_lvl, up_lvl)
+    ln = jnp.where(do_merge[None], mg_ln, up_ln)
+    contrib = jnp.where(head_onehot & threads[None],
+                        jnp.maximum(st["contrib"], amount[None]),
+                        st["contrib"])
+    stacks = st["stacks"] - jnp.where(head_onehot, paid[None], 0)
+
+    went_all_in = threads & (paid == stack_head)
+    in_hand = st["in_hand"] & ~jnp.where(is_fold | went_all_in, head_bit, 0)
+    to_act = jnp.where(is_raise, in_hand & ~head_bit,
+                       st["to_act"] & ~head_bit)
+    order = st["order"] & ~jnp.where(is_fold, head_bit, 0)
+    folded = st["folded"] | jnp.where(is_fold, head_bit, 0)
+    cursor = jnp.where(is_fold, st["cursor"], cursor_after)
+
+    # --- street / hand end (step.py:stage_end/game_end) ---
+    n_in = jnp.sum(_mask_bits(in_hand, P), axis=0)
+    stage_done = to_act == 0
+    ended = (n_in <= 1) | (stage_done & (st["stage"] == 3))
+    transition = stage_done & ~ended
+
+    # --- flush the street into its pot slot (shared by street transition
+    # and settlement: appending the already-flushed empty street is a
+    # no-op, so both paths see identical pots) ---
+    flush = transition | ended
+    live = lvl > 0
+    row_amt = lvl - _shift_down(lvl)
+    ge = (contrib[None] >= lvl[:, None]) & live[:, None]  # [L, P, 8, 128]
+    not_folded = _mask_bits(folded, P) == 0
+    mem = jnp.sum(jnp.where(ge & not_folded[None], _seat_bits(P)[None], 0),
+                  axis=1)  # [L, 8, 128]
+    pots_amt = st["pot_amt"].reshape(4, L, *TILE)
+    pots_mem = st["pot_mem"].reshape(4, L, *TILE)
+    pots_n = st["pot_n"].reshape(4, L, *TILE)
+    w = (flush[None] & (_iota(4) == st["stage"][None]))[:, None] & live[None]
+    pots_amt = jnp.where(w, row_amt[None], pots_amt)
+    pots_mem = jnp.where(w, mem[None], pots_mem)
+    pots_n = jnp.where(w, ln[None], pots_n)
+
+    # street reset after a flush
+    lvl = jnp.where(flush[None], 0, lvl)
+    ln = jnp.where(flush[None], 0, ln)
+    contrib = jnp.where(flush[None], 0, contrib)
+
+    # --- street transition (step.py:stage_transition) ---
+    stage = jnp.where(transition, st["stage"] + 1, st["stage"])
+    to_act = jnp.where(transition, in_hand, to_act)
+    order = jnp.where(transition, in_hand, order)
+    cursor = jnp.where(transition, zero, cursor)
+
+    # --- settlement (step.py:settle_showdown, reference payout) ---
+    board_masks = _suit_masks([st["board"][i] for i in range(5)])
+    hole_masks = _suit_masks([st["hole0"], st["hole1"]])  # [P, 8, 128] x4
+    values = eval_masks_cmp_impl(*[b[None] | h for b, h
+                                   in zip(board_masks, hole_masks)])
+    in_hand_b = _mask_bits(in_hand, P) != 0  # [P, 8, 128]
+    elig = ((jnp.right_shift(pots_mem[:, :, None], _iota(P)[None, None])
+             & 1) != 0) & in_hand_b[None, None]  # [4, L, P, 8, 128]
+    vmax = jnp.max(jnp.where(elig, values[None, None], 0), axis=2)
+    winners = elig & (values[None, None] == vmax[:, :, None])
+    cnt = jnp.sum(winners.astype(I32), axis=2)  # [4, L, 8, 128]
+    share = jnp.where(cnt > 0,
+                      (pots_amt * pots_n) // jnp.maximum(cnt, 1), 0)
+    payout = jnp.sum(jnp.where(winners, share[:, :, None], 0),
+                     axis=(0, 1))  # [P, 8, 128]
+    stacks = jnp.where(ended[None], stacks + payout, stacks)
+    hand_ct = st["hand_ct"] + ended.astype(I32)
+
+    # --- next hand (state.py:next_hand + begin_hand, reference rules) ---
+    # Rotate the players list by one (gameplay.clj:136-137): new position k
+    # = old k+1; then unconditional blinds and the injected/PRNG deal.
+    rot = jnp.concatenate([stacks[1:], stacks[:1]], axis=0)
+    seats = _iota(P)
+    blinds = jnp.where(seats == 0, sb, jnp.where(seats == 1, bb, 0))
+    stacks = jnp.where(ended[None], rot - blinds, stacks)
+    # Blind street: two updates on an empty street == constants.
+    lo, hi = min(sb, bb), max(sb, bb)
+    if sb == bb:
+        b_lvl, b_ln = [lo, 0, 0], [2, 0, 0]
+    else:
+        b_lvl, b_ln = [lo, hi, 0], [2, 1, 0]
+    rows = _iota(L)
+    blind_lvl = jnp.where(rows == 0, b_lvl[0],
+                          jnp.where(rows == 1, b_lvl[1], 0)) + zero[None]
+    blind_ln = jnp.where(rows == 0, b_ln[0],
+                         jnp.where(rows == 1, b_ln[1], 0)) + zero[None]
+    lvl = jnp.where(ended[None], blind_lvl, lvl)
+    ln = jnp.where(ended[None], blind_ln, ln)
+    contrib = jnp.where(ended[None], blinds + zero[None], contrib)
+    full = (1 << P) - 1
+    in_hand = jnp.where(ended, full, in_hand)
+    to_act = jnp.where(ended, full, to_act)
+    order = jnp.where(ended, full, order)
+    folded = jnp.where(ended, zero, folded)
+    cursor = jnp.where(ended, 2 % P, cursor)
+    stage = jnp.where(ended, zero, stage)
+    hole0 = jnp.where(ended[None], new_cards[:P], st["hole0"])
+    hole1 = jnp.where(ended[None], new_cards[P:2 * P], st["hole1"])
+    board = jnp.where(ended[None], new_cards[2 * P:], st["board"])
+    pots_amt = jnp.where(ended[None, None], 0, pots_amt)
+    pots_mem = jnp.where(ended[None, None], 0, pots_mem)
+    pots_n = jnp.where(ended[None, None], 0, pots_n)
+
+    # street_raises: reset on street or hand change (selfplay.py:140-147).
+    applied = (action > 0) & exists
+    street_raises = jnp.where(transition | ended, zero,
+                              st["street_raises"] + applied.astype(I32))
+
+    out = {
+        "stage": stage, "cursor": cursor, "street_raises": street_raises,
+        "folded": folded, "in_hand": in_hand, "to_act": to_act,
+        "order": order, "hand_ct": hand_ct,
+        "overflow": st["overflow"] | ovf.astype(I32),
+        "stacks": stacks, "contrib": contrib,
+        "hole0": hole0, "hole1": hole1, "board": board,
+        "lvl": lvl, "ln": ln,
+        "pot_amt": pots_amt.reshape(4 * L, *TILE),
+        "pot_mem": pots_mem.reshape(4 * L, *TILE),
+        "pot_n": pots_n.reshape(4 * L, *TILE),
+    }
+    # No-head guard (step.py:step_table): full no-op when the play order is
+    # empty — mirrors the XLA engine exactly (unreachable in practice).
+    return {
+        name: jnp.where(exists[None] if out[name].ndim == 3 else exists,
+                        out[name], st[name])
+        for name in out
+    }
+
+
+def _policy_prng(st, P):
+    """random_policy (rollout/policy.py) on hardware PRNG bits."""
+    u = pltpu.prng_random_bits(TILE).astype(jnp.uint32)
+    amt_bits = pltpu.prng_random_bits(TILE).astype(jnp.uint32)
+    amt = (amt_bits % jnp.uint32(MAX_RAISE)).astype(I32) + 1
+
+    head, _, _ = _head_info(st, P)
+    owes = (_street_total(st["lvl"]) - _pick(st["contrib"], head)) > 0
+    can_raise = st["street_raises"] < MAX_RAISES_PER_STREET
+
+    is_fold = u < jnp.uint32(FOLD_P_BITS)
+    is_raise = (u < jnp.uint32(RAISE_P_BITS)) & ~is_fold & can_raise
+    return jnp.where(is_fold, jnp.where(owes, I32(-1), I32(0)),
+                     jnp.where(is_raise, amt, I32(0)))
+
+
+def _make_kernel(P, n_steps, layout, F, mode, sb, bb, hmax=0):
+    n_cards = 2 * P + 5
+
+    if mode == "prng":
+        def kernel(seed_ref, state_ref, out_ref):
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            st = _unpack(state_ref[0], layout)
+
+            def body(_, st):
+                raw = _policy_prng(st, P)
+                cards = _sample_cards(TILE, n_cards)
+                return _engine_step(st, raw, cards, P, sb, bb)
+
+            # STATIC trip count: a runtime bound (read from SMEM) was
+            # measured 5x slower (34.7 vs 7.0 ns/table-step) — the dynamic
+            # while-loop defeats Mosaic's loop optimization. One compile
+            # per distinct launch length is the better trade.
+            st = jax.lax.fori_loop(0, n_steps, body, st)
+            out_ref[0] = _pack(st, layout, F)
+        return kernel
+
+    def kernel(seed_ref, state_ref, actions_ref, cards_ref, out_ref):
+        del seed_ref
+        st = _unpack(state_ref[0], layout)
+
+        def body(i, st):
+            raw = actions_ref[0, i]
+            # hand 0 was dealt at init; hand h reads stash row h.
+            hand_ptr = st["hand_ct"] + 1
+            stash = cards_ref[0]  # [hmax, n_cards, 8, 128]
+            sel = (jax.lax.broadcasted_iota(I32, (hmax, 1, 1, 1), 0)
+                   == hand_ptr[None, None])
+            cards = jnp.sum(jnp.where(sel, stash, 0), axis=0)
+            return _engine_step(st, raw, cards, P, sb, bb)
+
+        st = jax.lax.fori_loop(0, n_steps, body, st)
+        out_ref[0] = _pack(st, layout, F)
+    return kernel
+
+
+def _specs(F, n_steps, hmax, P, mode):
+    state_spec = pl.BlockSpec((1, F) + TILE, lambda i: (i, 0, 0, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if mode == "prng":
+        return [smem, state_spec], state_spec
+    actions_spec = pl.BlockSpec((1, n_steps) + TILE, lambda i: (i, 0, 0, 0))
+    cards_spec = pl.BlockSpec((1, hmax, 2 * P + 5) + TILE,
+                              lambda i: (i, 0, 0, 0, 0))
+    return [smem, state_spec, actions_spec, cards_spec], state_spec
+
+
+@partial(jax.jit, static_argnames=("P", "n_steps", "sb", "bb", "interpret"))
+def run_perpetual_prng(seed, state, P: int, n_steps: int, sb: int, bb: int,
+                       interpret: bool = False):
+    """Run ``n_steps`` of the whole-step kernel with in-kernel PRNG.
+
+    ``n_steps`` is STATIC: a runtime trip count was measured 5x slower
+    (see _make_kernel). ``state``: packed [n_blocks, F, 8, 128] i32."""
+    layout, F = _field_layout(P)
+    n_blocks = state.shape[0]
+    in_specs, out_spec = _specs(F, 0, 0, P, "prng")
+    ctrl = jnp.asarray(seed, I32).reshape(1)
+    return pl.pallas_call(
+        _make_kernel(P, n_steps, layout, F, "prng", sb, bb),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(state.shape, I32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(ctrl, state)
+
+
+def run_perpetual_det(state, actions, cards, P: int, n_steps: int,
+                      sb: int, bb: int, interpret: bool = False,
+                      jit: bool = False):
+    """Deterministic mode: injected raw actions [n_blocks, n_steps, 8, 128]
+    and per-hand deals [n_blocks, hmax, 2P+5, 8, 128] (hand 0 must already
+    be dealt into ``state``; hand h>0 reads stash row h).
+
+    Interpret mode runs unjitted by default (eager dispatch is seconds;
+    jitting the inlined interpreter program is minutes of XLA:CPU
+    compile)."""
+    layout, F = _field_layout(P)
+    n_blocks = state.shape[0]
+    hmax = cards.shape[1]
+    in_specs, out_spec = _specs(F, n_steps, hmax, P, "det")
+    call = pl.pallas_call(
+        _make_kernel(P, n_steps, layout, F, "det", sb, bb, hmax),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(state.shape, I32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )
+    if jit:
+        call = jax.jit(call)
+    return call(jnp.zeros((1,), I32), state, actions, cards)
+
+
+# ---------------------------------------------------------------------------
+# Host-side pack / unpack
+# ---------------------------------------------------------------------------
+
+def pack_state(cfg, first_cards):
+    """Initial packed state for ``n_tables`` tables: first hand already
+    dealt from ``first_cards`` [n_tables, 2P+5] (hole round-robin + board,
+    matching state.py:begin_hand's consumption order), blinds posted.
+
+    Returns [n_blocks, F, 8, 128] i32."""
+    import numpy as np
+
+    P = cfg.num_seats
+    layout, F = _field_layout(P)
+    n_tables = first_cards.shape[0]
+    assert n_tables % TABLES_PER_BLOCK == 0
+    n_blocks = n_tables // TABLES_PER_BLOCK
+    sb, bb = cfg.small_blind, cfg.big_blind
+    assert sb > 0 and bb > 0
+
+    state = np.zeros((n_blocks, F) + TILE, np.int32)
+
+    def put(name, i, val):
+        off, rows = layout[name]
+        assert 0 <= i < rows
+        state[:, off + i] = np.asarray(val).reshape((n_blocks,) + TILE)
+
+    full = (1 << P) - 1
+    put("cursor", 0, np.full(n_tables, 2 % P))
+    put("in_hand", 0, np.full(n_tables, full))
+    put("to_act", 0, np.full(n_tables, full))
+    put("order", 0, np.full(n_tables, full))
+    for k in range(P):
+        blind = sb if k == 0 else (bb if k == 1 else 0)
+        put("stacks", k, np.full(n_tables, cfg.starting_stack - blind))
+    lo, hi = min(sb, bb), max(sb, bb)
+    if sb == bb:
+        put("lvl", 0, np.full(n_tables, lo))
+        put("ln", 0, np.full(n_tables, 2))
+    else:
+        put("lvl", 0, np.full(n_tables, lo))
+        put("lvl", 1, np.full(n_tables, hi))
+        put("ln", 0, np.full(n_tables, 2))
+        put("ln", 1, np.full(n_tables, 1))
+    put("contrib", 0, np.full(n_tables, sb))
+    put("contrib", 1, np.full(n_tables, bb))
+    fc = np.asarray(first_cards, np.int32)
+    for k in range(P):
+        put("hole0", k, fc[:, k])
+        put("hole1", k, fc[:, P + k])
+    for i in range(5):
+        put("board", i, fc[:, 2 * P + i])
+    return jnp.asarray(state)
+
+
+def unpack_field(state, cfg, name, i=0):
+    """[n_blocks, F, 8, 128] -> flat [n_tables] view of one field row."""
+    layout, _ = _field_layout(cfg.num_seats)
+    off, rows = layout[name]
+    assert 0 <= i < rows
+    return state[:, off + i].reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Production wrapper: perpetual self-play on the whole-step kernel
+# ---------------------------------------------------------------------------
+
+def selfplay_perpetual_kernel(seed: int, cfg, n_tables: int, n_steps: int,
+                              steps_per_launch: int = 512,
+                              interpret: bool = False):
+    """Random-policy perpetual self-play entirely inside the Pallas kernel.
+
+    The TPU-native replacement for ``rollout.selfplay.play_hands_perpetual``
+    under reference rules: identical semantics (pinned by the deterministic
+    mode's trajectory-equality tests), different (hardware) PRNG streams.
+    The first hand is dealt host-side with threefry; every subsequent deal
+    and policy draw happens on-chip.
+
+    Returns ``(final_packed_state, hands_completed, overflowed_tables)``.
+    """
+    import numpy as np
+
+    P = cfg.num_seats
+    assert cfg.rules == "reference", "kernel v1 implements reference rules"
+    assert n_tables % TABLES_PER_BLOCK == 0
+
+    # First hand via threefry (same consumption order as begin_hand).
+    keys = jax.random.split(jax.random.key(seed), n_tables)
+    decks = jax.vmap(lambda k: jax.random.permutation(k, 52))(keys)
+    base = 2 * P
+    pos = list(range(base)) + [base + 1, base + 2, base + 3, base + 5,
+                               base + 7]
+    first_cards = np.asarray(decks)[:, pos]
+
+    state = pack_state(cfg, first_cards)
+    done = 0
+    while done < n_steps:
+        chunk = min(steps_per_launch, n_steps - done)
+        state = run_perpetual_prng(seed + done * 7919, state, P, chunk,
+                                   cfg.small_blind, cfg.big_blind,
+                                   interpret=interpret)
+        done += chunk
+    hands = int(jnp.sum(unpack_field(state, cfg, "hand_ct")))
+    ovf = int(jnp.sum(unpack_field(state, cfg, "overflow")))
+    return state, hands, ovf

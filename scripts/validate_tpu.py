@@ -35,8 +35,84 @@ MATCHUPS = [
 N = 4_000_000
 
 
+def check_engine_kernel() -> int:
+    """Whole-step engine kernel on hardware.
+
+    (a) COMPILED deterministic mode must match the XLA engine bit-exactly
+    on injected streams (the CPU suite pins interpret mode; this pins the
+    Mosaic lowering). (b) PRNG mode must agree statistically with the XLA
+    perpetual engine: steps/hand and mean final stack within tolerance,
+    zero overflow latches.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.state import TableConfig
+    from montecarlo_tpu.ops import pallas_engine as pe
+    from tests.test_pallas_engine import (
+        CFG, HMAX, N_CARDS, P, _bitmask, _decks_from_cards, _replica,
+        _streams,
+    )
+
+    failures = 0
+
+    # (a) compiled deterministic mode vs XLA engine, 24 steps x 1024 tables
+    actions, cards = _streams(23)
+    decks = _decks_from_cards(cards)
+    packed = pe.pack_state(CFG, cards[:, 0])
+    act_in = jnp.asarray(actions[:24].reshape(24, *pe.TILE)[None])
+    cards_in = jnp.asarray(
+        cards.transpose(1, 2, 0).reshape(HMAX, N_CARDS, *pe.TILE)[None])
+    out = np.asarray(pe.run_perpetual_det(
+        packed, act_in, cards_in, P, 24, CFG.small_blind, CFG.big_blind,
+        jit=True))
+    ref = _replica(actions, decks, 24)
+    clean = np.asarray(pe.unpack_field(jnp.asarray(out), CFG,
+                                       "overflow")) == 0
+
+    def col(name, i=0):
+        return np.asarray(pe.unpack_field(jnp.asarray(out), CFG, name, i))
+
+    ok = clean.mean() > 0.9
+    ok &= np.array_equal(col("hand_ct")[clean],
+                         np.asarray(ref.hand_idx)[clean])
+    ok &= np.array_equal(col("folded")[clean], _bitmask(ref.folded)[clean])
+    for k in range(P):
+        ok &= np.array_equal(col("stacks", k)[clean],
+                             np.asarray(ref.stacks[:, k])[clean])
+    failures += 0 if ok else 1
+    print(f"engine kernel det-mode (Mosaic) vs XLA engine: "
+          f"{int(clean.sum())}/{clean.size} exact [{'ok' if ok else 'FAIL'}]")
+
+    # (b) PRNG mode statistics vs the XLA perpetual engine
+    from montecarlo_tpu.rollout.selfplay import play_hands_perpetual
+
+    cfg = TableConfig(num_seats=6, max_layers=8, max_pot_layers=16)
+    n_tables, n_steps = 1 << 14, 256
+    state, hands_k, ovf = pe.selfplay_perpetual_kernel(
+        5, cfg, n_tables, n_steps, steps_per_launch=n_steps)
+    sph_k = n_tables * n_steps / max(hands_k, 1)
+    stacks_k = float(jnp.mean(jnp.stack(
+        [pe.unpack_field(state, cfg, "stacks", k).astype(jnp.float32)
+         for k in range(6)])))
+
+    keys = jax.random.split(jax.random.key(5), n_tables)
+    final, hands_x = play_hands_perpetual(keys, cfg, n_steps)
+    sph_x = n_tables * n_steps / max(int(hands_x), 1)
+    stacks_x = float(jnp.mean(final.stacks.astype(jnp.float32)))
+
+    ok = (ovf == 0 and abs(sph_k - sph_x) / sph_x < 0.03
+          and abs(stacks_k - stacks_x) < 2.0)
+    failures += 0 if ok else 1
+    print(f"engine kernel prng vs XLA: steps/hand {sph_k:.2f} vs {sph_x:.2f},"
+          f" mean stack {stacks_k:.2f} vs {stacks_x:.2f}, overflow={ovf} "
+          f"[{'ok' if ok else 'FAIL'}]")
+    return failures
+
+
 def main() -> int:
     failures = 0
+    failures += check_engine_kernel()
 
     # Fused sweep kernel vs known per-hand equities.
     import jax.numpy as jnp

@@ -65,9 +65,17 @@ TILE = tuple(int(x) for x in
              os.environ.get("MC_ENGINE_TILE", "8,128").split(","))
 TABLES_PER_BLOCK = TILE[0] * TILE[1]
 
-# Street layer capacity. L=6 covered 51.7M audited random 6-max hands with
-# zero overflows (PERF.md); the kernel latches an overflow flag regardless.
+# Street layer capacity. Reference rules: L=6 covered 51.7M audited random
+# 6-max hands with zero overflows (PERF.md) — levels come only from blinds
+# (2) and policy-bounded raises (2/street). Standard rules additionally
+# insert a level per distinct all-in-for-less (up to P-1), so the cap is
+# wider. The kernel latches an overflow flag regardless.
 L = 6
+L_STANDARD = 10
+
+
+def _L_for(rules: str) -> int:
+    return L if rules == "reference" else L_STANDARD
 
 # Policy constants — must match rollout.policy.random_policy defaults.
 FOLD_P_BITS = int(0.15 * 2**32)
@@ -76,17 +84,28 @@ MAX_RAISE = 20
 MAX_RAISES_PER_STREET = 2
 
 
-def _field_layout(P: int):
+def _field_layout(P: int, rules: str = "reference"):
     """Name -> (offset, rows) map of the packed per-table state. Multi-row
-    fields are stored as contiguous row ranges of the [F, 8, 128] block."""
+    fields are stored as contiguous row ranges of the [F, 8, 128] block.
+
+    ``pot_set`` holds the per-layer seat set used at settlement: current
+    members under reference rules (``:players``, all-in/folded removed at
+    flush) vs original contributors under standard rules. ``pot_n`` (the
+    reference n-inflation counter) and ``all_in`` (standard showdown-live
+    all-in seats) exist only for the rules that use them."""
     fields = [
         ("stage", 1), ("cursor", 1), ("street_raises", 1),
         ("folded", 1), ("in_hand", 1), ("to_act", 1), ("order", 1),
         ("hand_ct", 1), ("overflow", 1),
         ("stacks", P), ("contrib", P), ("hole0", P), ("hole1", P),
-        ("board", 5), ("lvl", L), ("ln", L),
-        ("pot_amt", 4 * L), ("pot_mem", 4 * L), ("pot_n", 4 * L),
+        ("hand_start", P), ("delta_sum", P),
+        ("board", 5), ("lvl", _L_for(rules)), ("ln", _L_for(rules)),
+        ("pot_amt", 4 * _L_for(rules)), ("pot_set", 4 * _L_for(rules)),
     ]
+    if rules == "reference":
+        fields.append(("pot_n", 4 * _L_for(rules)))
+    else:
+        fields.append(("all_in", 1))
     layout, off = {}, 0
     for name, rows in fields:
         layout[name] = (off, rows)
@@ -152,6 +171,7 @@ def _street_total(lvl):
 def _street_update(lvl, ln, amount, do):
     """Levels-form ``update-bets`` (street.py:street_update): +1 the n of
     covered levels, sorted-insert a new boundary. Dead rows are 0."""
+    n_rows = lvl.shape[0]
     valid = lvl > 0
     cnt = jnp.sum(valid.astype(I32), axis=0)
     a = amount[None]
@@ -160,7 +180,7 @@ def _street_update(lvl, ln, amount, do):
     pos = jnp.sum((valid & (lvl < a)).astype(I32), axis=0)
     new_n = jnp.where(pos == cnt, 1, _pick(ln, pos) + 1)
 
-    rows = _iota(L)
+    rows = _iota(n_rows)
     below, at = rows < pos[None], rows == pos[None]
     ins_lvl = jnp.where(below, lvl, jnp.where(at, a, _shift_down(lvl)))
     ins_ln = jnp.where(below, n_inc,
@@ -169,21 +189,22 @@ def _street_update(lvl, ln, amount, do):
     out_lvl = jnp.where(do_insert[None], ins_lvl, lvl)
     out_ln = jnp.where(do_insert[None], ins_ln,
                        jnp.where(do[None], n_inc, ln))
-    return out_lvl, out_ln, do_insert & (cnt >= L)
+    return out_lvl, out_ln, do_insert & (cnt >= n_rows)
 
 
 def _street_merge(lvl, ln, contrib, do):
     """Levels-form ``merge-bets`` (street.py:street_merge): delete
     boundaries no contribution matches, compact the two columns."""
+    n_rows = lvl.shape[0]
     matched = jnp.any(contrib[None] == lvl[:, None], axis=1)  # [L, 8, 128]
     keep = matched & (lvl > 0)
     # prefix sum over the (static, small) layer axis — Mosaic has no cumsum
     runs, run = [], None
-    for j in range(L):
+    for j in range(n_rows):
         run = keep[j].astype(I32) if run is None else run + keep[j]
         runs.append(run)
     rank = jnp.stack(runs, axis=0) - 1
-    sel = (rank[None] == _iota(L)[:, None]) & keep[None]  # [out, in, 8, 128]
+    sel = (rank[None] == _iota(n_rows)[:, None]) & keep[None]
     out_lvl = jnp.sum(jnp.where(sel, lvl[None], 0), axis=1)
     out_ln = jnp.sum(jnp.where(sel, ln[None], 0), axis=1)
     return (jnp.where(do[None], out_lvl, lvl),
@@ -232,15 +253,19 @@ def _sample_cards(shape, k):
     return jnp.stack(cards, axis=0)
 
 
-def _engine_step(st, raw_action, new_cards, P, sb, bb):
+def _engine_step(st, raw_action, new_cards, P, sb, bb,
+                 rules="reference"):
     """One ``step_table`` on a block dict (tables = trailing (8, 128)).
 
     ``raw_action``: [8,128] pre-clamp policy action. ``new_cards``:
     [2P+5, 8, 128] next hand's deal. Mirrors engine/step.py:step_table
-    under reference rules; every jnp op is Mosaic-lowerable.
+    under reference or standard rules (see TableConfig.rules); every jnp
+    op is Mosaic-lowerable.
     """
     from montecarlo_tpu.ops.evaluator import eval_masks_cmp_impl
 
+    reference = rules == "reference"
+    n_lvl = st["lvl"].shape[0]
     zero = jnp.zeros_like(st["stage"])
     head, cursor_after, exists = _head_info(st, P)
     head_onehot = _iota(P) == head[None]  # [P, 8, 128]
@@ -261,9 +286,21 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb):
     is_check = is_call & (total == 0)
     threads = (is_call & (total > 0)) | is_raise
 
-    # --- reference-rules payment (step.py:apply_action) ---
-    amount = jnp.where(is_raise, r + total, total)
-    paid = jnp.where(threads, jnp.where(is_raise, delta + r, delta), 0)
+    # --- payment (step.py:apply_action) ---
+    if reference:
+        # call pays the full delta (stacks may go negative); raise threads
+        # r + total.
+        amount = jnp.where(is_raise, r + total, total)
+        paid = jnp.where(threads, jnp.where(is_raise, delta + r, delta), 0)
+    else:
+        # standard: payments cap at the stack; an all-in for less joins
+        # only what it can cover (splitting a side pot in the street).
+        pay_call = jnp.minimum(delta, stack_head)
+        pay_raise = jnp.minimum(delta + r, stack_head)
+        amount = jnp.where(is_raise, r + total - (delta + r - pay_raise),
+                           total - (delta - pay_call))
+        paid = jnp.where(threads, jnp.where(is_raise, pay_raise, pay_call),
+                         0)
 
     up_lvl, up_ln, ovf = _street_update(st["lvl"], st["ln"], amount, threads)
     do_merge = is_fold | is_check
@@ -277,91 +314,154 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb):
     stacks = st["stacks"] - jnp.where(head_onehot, paid[None], 0)
 
     went_all_in = threads & (paid == stack_head)
-    in_hand = st["in_hand"] & ~jnp.where(is_fold | went_all_in, head_bit, 0)
-    to_act = jnp.where(is_raise, in_hand & ~head_bit,
-                       st["to_act"] & ~head_bit)
-    order = st["order"] & ~jnp.where(is_fold, head_bit, 0)
+    if reference:
+        # exact-equality all-ins leave :players entirely (board.clj:53-89)
+        in_hand = st["in_hand"] & ~jnp.where(is_fold | went_all_in,
+                                             head_bit, 0)
+        all_in = zero
+        to_act = jnp.where(is_raise, in_hand & ~head_bit,
+                           st["to_act"] & ~head_bit)
+        order = st["order"] & ~jnp.where(is_fold, head_bit, 0)
+    else:
+        # standard: all-in seats stop acting but stay showdown-live
+        in_hand = st["in_hand"] & ~jnp.where(is_fold, head_bit, 0)
+        all_in = st["all_in"] | jnp.where(went_all_in, head_bit, 0)
+        actable_now = in_hand & ~all_in
+        to_act = jnp.where(is_raise, actable_now & ~head_bit,
+                           st["to_act"] & ~head_bit)
+        order = st["order"] & ~jnp.where(is_fold | went_all_in, head_bit, 0)
     folded = st["folded"] | jnp.where(is_fold, head_bit, 0)
     cursor = jnp.where(is_fold, st["cursor"], cursor_after)
 
     # --- street / hand end (step.py:stage_end/game_end) ---
     n_in = jnp.sum(_mask_bits(in_hand, P), axis=0)
-    stage_done = to_act == 0
-    ended = (n_in <= 1) | (stage_done & (st["stage"] == 3))
-    transition = stage_done & ~ended
 
-    # --- flush the street into its pot slot (shared by street transition
-    # and settlement: appending the already-flushed empty street is a
-    # no-op, so both paths see identical pots) ---
-    flush = transition | ended
+    # --- flush the street into its pot slot. The street's content moves
+    # to pots exactly once — when the betting round closes (transition or
+    # settlement); later chained transitions see an empty street. ---
+    stage_done0 = to_act == 0
+    flush = stage_done0 | (n_in <= 1)
     live = lvl > 0
     row_amt = lvl - _shift_down(lvl)
     ge = (contrib[None] >= lvl[:, None]) & live[:, None]  # [L, P, 8, 128]
-    not_folded = _mask_bits(folded, P) == 0
-    mem = jnp.sum(jnp.where(ge & not_folded[None], _seat_bits(P)[None], 0),
-                  axis=1)  # [L, 8, 128]
-    pots_amt = st["pot_amt"].reshape(4, L, *TILE)
-    pots_mem = st["pot_mem"].reshape(4, L, *TILE)
-    pots_n = st["pot_n"].reshape(4, L, *TILE)
+    if reference:
+        # :players — folds removed at flush time
+        not_folded = _mask_bits(folded, P) == 0
+        layer_set = jnp.sum(jnp.where(ge & not_folded[None],
+                                      _seat_bits(P)[None], 0), axis=1)
+    else:
+        # original contributors (folds keep their dead money's membership)
+        layer_set = jnp.sum(jnp.where(ge, _seat_bits(P)[None], 0), axis=1)
+    pots_amt = st["pot_amt"].reshape(4, n_lvl, *TILE)
+    pots_set = st["pot_set"].reshape(4, n_lvl, *TILE)
     w = (flush[None] & (_iota(4) == st["stage"][None]))[:, None] & live[None]
     pots_amt = jnp.where(w, row_amt[None], pots_amt)
-    pots_mem = jnp.where(w, mem[None], pots_mem)
-    pots_n = jnp.where(w, ln[None], pots_n)
+    pots_set = jnp.where(w, layer_set[None], pots_set)
+    if reference:
+        pots_n = st["pot_n"].reshape(4, n_lvl, *TILE)
+        pots_n = jnp.where(w, ln[None], pots_n)
 
     # street reset after a flush
     lvl = jnp.where(flush[None], 0, lvl)
     ln = jnp.where(flush[None], 0, ln)
     contrib = jnp.where(flush[None], 0, contrib)
 
-    # --- street transition (step.py:stage_transition) ---
-    stage = jnp.where(transition, st["stage"] + 1, st["stage"])
-    to_act = jnp.where(transition, in_hand, to_act)
-    order = jnp.where(transition, in_hand, order)
-    cursor = jnp.where(transition, zero, cursor)
+    # --- street transitions (step.py:_advance_streets): at most one under
+    # reference rules; standard chains the board out (everyone all-in) ---
+    stage = st["stage"]
+    for _ in range(1 if reference else 4):
+        stage_done = to_act == 0
+        gend = (n_in <= 1) | (stage_done & (stage == 3))
+        trans = stage_done & ~gend
+        stage = jnp.where(trans, stage + 1, stage)
+        actable = in_hand if reference else (in_hand & ~all_in)
+        to_act = jnp.where(trans, actable, to_act)
+        order = jnp.where(trans, actable, order)
+        cursor = jnp.where(trans, zero, cursor)
+    ended = (n_in <= 1) | ((to_act == 0) & (stage == 3))
 
-    # --- settlement (step.py:settle_showdown, reference payout) ---
+    # --- settlement (step.py:settle_showdown) ---
     board_masks = _suit_masks([st["board"][i] for i in range(5)])
     hole_masks = _suit_masks([st["hole0"], st["hole1"]])  # [P, 8, 128] x4
     values = eval_masks_cmp_impl(*[b[None] | h for b, h
                                    in zip(board_masks, hole_masks)])
     in_hand_b = _mask_bits(in_hand, P) != 0  # [P, 8, 128]
-    elig = ((jnp.right_shift(pots_mem[:, :, None], _iota(P)[None, None])
-             & 1) != 0) & in_hand_b[None, None]  # [4, L, P, 8, 128]
+    set_bits = (jnp.right_shift(pots_set[:, :, None], _iota(P)[None, None])
+                & 1)  # [4, L, P, 8, 128]
+    elig = (set_bits != 0) & in_hand_b[None, None]
     vmax = jnp.max(jnp.where(elig, values[None, None], 0), axis=2)
     winners = elig & (values[None, None] == vmax[:, :, None])
     cnt = jnp.sum(winners.astype(I32), axis=2)  # [4, L, 8, 128]
-    share = jnp.where(cnt > 0,
-                      (pots_amt * pots_n) // jnp.maximum(cnt, 1), 0)
-    payout = jnp.sum(jnp.where(winners, share[:, :, None], 0),
-                     axis=(0, 1))  # [P, 8, 128]
+    if reference:
+        # amt * inflated n, integer split, remainders vanish
+        total_pot = pots_amt * pots_n
+    else:
+        # exactly the chips contributed: amt * |contributors|
+        total_pot = pots_amt * jnp.sum(set_bits, axis=2)
+    share = jnp.where(cnt > 0, total_pot // jnp.maximum(cnt, 1), 0)
+    pay_rows = jnp.where(winners, share[:, :, None], 0)
+    if not reference:
+        # odd chips to the first-position winner of each layer
+        rem = jnp.where(cnt > 0, total_pot % jnp.maximum(cnt, 1), 0)
+        first = jnp.min(jnp.where(winners, _iota(P)[None, None], P), axis=2)
+        pay_rows = pay_rows + jnp.where(
+            _iota(P)[None, None] == first[:, :, None], rem[:, :, None], 0)
+    payout = jnp.sum(pay_rows, axis=(0, 1))  # [P, 8, 128]
     stacks = jnp.where(ended[None], stacks + payout, stacks)
     hand_ct = st["hand_ct"] + ended.astype(I32)
+    # Per-position settled chip delta for the finished hand (position 0 =
+    # that hand's small blind; blinds paid are included — same accounting
+    # as rollout.selfplay.play_hands collect_deltas).
+    delta_sum = st["delta_sum"] + jnp.where(
+        ended[None], stacks - st["hand_start"], 0)
 
-    # --- next hand (state.py:next_hand + begin_hand, reference rules) ---
+    # --- next hand (state.py:next_hand + begin_hand) ---
     # Rotate the players list by one (gameplay.clj:136-137): new position k
-    # = old k+1; then unconditional blinds and the injected/PRNG deal.
+    # = old k+1; then blinds (unconditional under reference rules; capped
+    # at the stack under standard) and the injected/PRNG deal.
     rot = jnp.concatenate([stacks[1:], stacks[:1]], axis=0)
     seats = _iota(P)
-    blinds = jnp.where(seats == 0, sb, jnp.where(seats == 1, bb, 0))
-    stacks = jnp.where(ended[None], rot - blinds, stacks)
-    # Blind street: two updates on an empty street == constants.
-    lo, hi = min(sb, bb), max(sb, bb)
-    if sb == bb:
-        b_lvl, b_ln = [lo, 0, 0], [2, 0, 0]
-    else:
-        b_lvl, b_ln = [lo, hi, 0], [2, 1, 0]
-    rows = _iota(L)
-    blind_lvl = jnp.where(rows == 0, b_lvl[0],
-                          jnp.where(rows == 1, b_lvl[1], 0)) + zero[None]
-    blind_ln = jnp.where(rows == 0, b_ln[0],
-                         jnp.where(rows == 1, b_ln[1], 0)) + zero[None]
-    lvl = jnp.where(ended[None], blind_lvl, lvl)
-    ln = jnp.where(ended[None], blind_ln, ln)
-    contrib = jnp.where(ended[None], blinds + zero[None], contrib)
+    hand_start = jnp.where(ended[None], rot, st["hand_start"])
     full = (1 << P) - 1
+    if reference:
+        blinds = jnp.where(seats == 0, sb, jnp.where(seats == 1, bb, 0))
+        stacks = jnp.where(ended[None], rot - blinds, stacks)
+        lo, hi = min(sb, bb), max(sb, bb)
+        if sb == bb:
+            b_lvl, b_ln = [lo, 0], [2, 0]
+        else:
+            b_lvl, b_ln = [lo, hi], [2, 1]
+        rows = _iota(n_lvl)
+        blind_lvl = jnp.where(rows == 0, b_lvl[0],
+                              jnp.where(rows == 1, b_lvl[1], 0)) + zero[None]
+        blind_ln = jnp.where(rows == 0, b_ln[0],
+                             jnp.where(rows == 1, b_ln[1], 0)) + zero[None]
+        lvl = jnp.where(ended[None], blind_lvl, lvl)
+        ln = jnp.where(ended[None], blind_ln, ln)
+        contrib = jnp.where(ended[None], blinds + zero[None], contrib)
+        to_act_new = order_new = full + zero
+        all_in_next = all_in
+    else:
+        pay0 = jnp.clip(sb, 0, jnp.maximum(rot[0], 0))
+        pay1 = jnp.clip(bb, 0, jnp.maximum(rot[1], 0))
+        pays = jnp.where(seats == 0, pay0[None],
+                         jnp.where(seats == 1, pay1[None], 0))
+        new_stacks = rot - pays
+        stacks = jnp.where(ended[None], new_stacks, stacks)
+        z = jnp.zeros_like(st["lvl"])
+        l1, n1, _ = _street_update(z, z, pay0, pay0 > 0)
+        l2, n2, _ = _street_update(l1, n1, pay1, pay1 > 0)
+        lvl = jnp.where(ended[None], l2, lvl)
+        ln = jnp.where(ended[None], n2, ln)
+        contrib = jnp.where(ended[None], pays, contrib)
+        # all-in blinds and busted seats sit out as all-in-for-nothing
+        allin_bm = jnp.sum(jnp.where(new_stacks <= 0, _seat_bits(P), 0),
+                           axis=0)
+        all_in_next = jnp.where(ended, allin_bm, all_in)
+        to_act_new = order_new = full & ~allin_bm
     in_hand = jnp.where(ended, full, in_hand)
-    to_act = jnp.where(ended, full, to_act)
-    order = jnp.where(ended, full, order)
+    to_act = jnp.where(ended, to_act_new, to_act)
+    order = jnp.where(ended, order_new, order)
     folded = jnp.where(ended, zero, folded)
     cursor = jnp.where(ended, 2 % P, cursor)
     stage = jnp.where(ended, zero, stage)
@@ -369,12 +469,12 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb):
     hole1 = jnp.where(ended[None], new_cards[P:2 * P], st["hole1"])
     board = jnp.where(ended[None], new_cards[2 * P:], st["board"])
     pots_amt = jnp.where(ended[None, None], 0, pots_amt)
-    pots_mem = jnp.where(ended[None, None], 0, pots_mem)
-    pots_n = jnp.where(ended[None, None], 0, pots_n)
+    pots_set = jnp.where(ended[None, None], 0, pots_set)
 
     # street_raises: reset on street or hand change (selfplay.py:140-147).
     applied = (action > 0) & exists
-    street_raises = jnp.where(transition | ended, zero,
+    transition_any = stage != st["stage"]
+    street_raises = jnp.where(transition_any | ended, zero,
                               st["street_raises"] + applied.astype(I32))
 
     out = {
@@ -384,11 +484,16 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb):
         "overflow": st["overflow"] | ovf.astype(I32),
         "stacks": stacks, "contrib": contrib,
         "hole0": hole0, "hole1": hole1, "board": board,
+        "hand_start": hand_start, "delta_sum": delta_sum,
         "lvl": lvl, "ln": ln,
-        "pot_amt": pots_amt.reshape(4 * L, *TILE),
-        "pot_mem": pots_mem.reshape(4 * L, *TILE),
-        "pot_n": pots_n.reshape(4 * L, *TILE),
+        "pot_amt": pots_amt.reshape(4 * n_lvl, *TILE),
+        "pot_set": pots_set.reshape(4 * n_lvl, *TILE),
     }
+    if reference:
+        pots_n = jnp.where(ended[None, None], 0, pots_n)
+        out["pot_n"] = pots_n.reshape(4 * n_lvl, *TILE)
+    else:
+        out["all_in"] = all_in_next
     # No-head guard (step.py:step_table): full no-op when the play order is
     # empty — mirrors the XLA engine exactly (unreachable in practice).
     return {
@@ -414,7 +519,8 @@ def _policy_prng(st, P):
                      jnp.where(is_raise, amt, I32(0)))
 
 
-def _make_kernel(P, n_steps, layout, F, mode, sb, bb, hmax=0):
+def _make_kernel(P, n_steps, layout, F, mode, sb, bb, hmax=0,
+                 rules="reference"):
     n_cards = 2 * P + 5
 
     if mode == "prng":
@@ -425,7 +531,7 @@ def _make_kernel(P, n_steps, layout, F, mode, sb, bb, hmax=0):
             def body(_, st):
                 raw = _policy_prng(st, P)
                 cards = _sample_cards(TILE, n_cards)
-                return _engine_step(st, raw, cards, P, sb, bb)
+                return _engine_step(st, raw, cards, P, sb, bb, rules)
 
             # STATIC trip count: a runtime bound (read from SMEM) was
             # measured 5x slower (34.7 vs 7.0 ns/table-step) — the dynamic
@@ -447,7 +553,7 @@ def _make_kernel(P, n_steps, layout, F, mode, sb, bb, hmax=0):
             sel = (jax.lax.broadcasted_iota(I32, (hmax, 1, 1, 1), 0)
                    == hand_ptr[None, None])
             cards = jnp.sum(jnp.where(sel, stash, 0), axis=0)
-            return _engine_step(st, raw, cards, P, sb, bb)
+            return _engine_step(st, raw, cards, P, sb, bb, rules)
 
         st = jax.lax.fori_loop(0, n_steps, body, st)
         out_ref[0] = _pack(st, layout, F)
@@ -465,19 +571,20 @@ def _specs(F, n_steps, hmax, P, mode):
     return [smem, state_spec, actions_spec, cards_spec], state_spec
 
 
-@partial(jax.jit, static_argnames=("P", "n_steps", "sb", "bb", "interpret"))
+@partial(jax.jit, static_argnames=("P", "n_steps", "sb", "bb", "rules",
+                                   "interpret"))
 def run_perpetual_prng(seed, state, P: int, n_steps: int, sb: int, bb: int,
-                       interpret: bool = False):
+                       rules: str = "reference", interpret: bool = False):
     """Run ``n_steps`` of the whole-step kernel with in-kernel PRNG.
 
     ``n_steps`` is STATIC: a runtime trip count was measured 5x slower
     (see _make_kernel). ``state``: packed [n_blocks, F, 8, 128] i32."""
-    layout, F = _field_layout(P)
+    layout, F = _field_layout(P, rules)
     n_blocks = state.shape[0]
     in_specs, out_spec = _specs(F, 0, 0, P, "prng")
     ctrl = jnp.asarray(seed, I32).reshape(1)
     return pl.pallas_call(
-        _make_kernel(P, n_steps, layout, F, "prng", sb, bb),
+        _make_kernel(P, n_steps, layout, F, "prng", sb, bb, rules=rules),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -489,8 +596,8 @@ def run_perpetual_prng(seed, state, P: int, n_steps: int, sb: int, bb: int,
 
 
 def run_perpetual_det(state, actions, cards, P: int, n_steps: int,
-                      sb: int, bb: int, interpret: bool = False,
-                      jit: bool = False):
+                      sb: int, bb: int, rules: str = "reference",
+                      interpret: bool = False, jit: bool = False):
     """Deterministic mode: injected raw actions [n_blocks, n_steps, 8, 128]
     and per-hand deals [n_blocks, hmax, 2P+5, 8, 128] (hand 0 must already
     be dealt into ``state``; hand h>0 reads stash row h).
@@ -498,12 +605,13 @@ def run_perpetual_det(state, actions, cards, P: int, n_steps: int,
     Interpret mode runs unjitted by default (eager dispatch is seconds;
     jitting the inlined interpreter program is minutes of XLA:CPU
     compile)."""
-    layout, F = _field_layout(P)
+    layout, F = _field_layout(P, rules)
     n_blocks = state.shape[0]
     hmax = cards.shape[1]
     in_specs, out_spec = _specs(F, n_steps, hmax, P, "det")
     call = pl.pallas_call(
-        _make_kernel(P, n_steps, layout, F, "det", sb, bb, hmax),
+        _make_kernel(P, n_steps, layout, F, "det", sb, bb, hmax,
+                     rules=rules),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -530,7 +638,9 @@ def pack_state(cfg, first_cards):
     import numpy as np
 
     P = cfg.num_seats
-    layout, F = _field_layout(P)
+    rules = cfg.rules
+    assert rules in ("reference", "standard"), rules
+    layout, F = _field_layout(P, rules)
     n_tables = first_cards.shape[0]
     assert n_tables % TABLES_PER_BLOCK == 0
     n_blocks = n_tables // TABLES_PER_BLOCK
@@ -547,13 +657,19 @@ def pack_state(cfg, first_cards):
     full = (1 << P) - 1
     put("cursor", 0, np.full(n_tables, 2 % P))
     put("in_hand", 0, np.full(n_tables, full))
-    put("to_act", 0, np.full(n_tables, full))
-    put("order", 0, np.full(n_tables, full))
+    # Blinds: unconditional under reference rules; capped at the stack
+    # under standard (fresh full stacks, so the cap only bites for tiny
+    # configured starting stacks).
+    pay0 = sb if rules == "reference" else min(sb, max(cfg.starting_stack,
+                                                       0))
+    pay1 = bb if rules == "reference" else min(bb, max(cfg.starting_stack,
+                                                       0))
     for k in range(P):
-        blind = sb if k == 0 else (bb if k == 1 else 0)
+        blind = pay0 if k == 0 else (pay1 if k == 1 else 0)
         put("stacks", k, np.full(n_tables, cfg.starting_stack - blind))
-    lo, hi = min(sb, bb), max(sb, bb)
-    if sb == bb:
+        put("hand_start", k, np.full(n_tables, cfg.starting_stack))
+    lo, hi = min(pay0, pay1), max(pay0, pay1)
+    if lo == hi:
         put("lvl", 0, np.full(n_tables, lo))
         put("ln", 0, np.full(n_tables, 2))
     else:
@@ -561,8 +677,18 @@ def pack_state(cfg, first_cards):
         put("lvl", 1, np.full(n_tables, hi))
         put("ln", 0, np.full(n_tables, 2))
         put("ln", 1, np.full(n_tables, 1))
-    put("contrib", 0, np.full(n_tables, sb))
-    put("contrib", 1, np.full(n_tables, bb))
+    put("contrib", 0, np.full(n_tables, pay0))
+    put("contrib", 1, np.full(n_tables, pay1))
+    if rules == "standard":
+        allin = sum((1 << k) for k, b in
+                    enumerate([pay0, pay1] + [0] * (P - 2))
+                    if cfg.starting_stack - b <= 0)
+        put("all_in", 0, np.full(n_tables, allin))
+        put("to_act", 0, np.full(n_tables, full & ~allin))
+        put("order", 0, np.full(n_tables, full & ~allin))
+    else:
+        put("to_act", 0, np.full(n_tables, full))
+        put("order", 0, np.full(n_tables, full))
     fc = np.asarray(first_cards, np.int32)
     for k in range(P):
         put("hole0", k, fc[:, k])
@@ -574,7 +700,7 @@ def pack_state(cfg, first_cards):
 
 def unpack_field(state, cfg, name, i=0):
     """[n_blocks, F, 8, 128] -> flat [n_tables] view of one field row."""
-    layout, _ = _field_layout(cfg.num_seats)
+    layout, _ = _field_layout(cfg.num_seats, cfg.rules)
     off, rows = layout[name]
     assert 0 <= i < rows
     return state[:, off + i].reshape(-1)
@@ -600,7 +726,8 @@ def selfplay_perpetual_kernel(seed: int, cfg, n_tables: int, n_steps: int,
     import numpy as np
 
     P = cfg.num_seats
-    assert cfg.rules == "reference", "kernel v1 implements reference rules"
+    assert cfg.rules in ("reference", "standard"), \
+        "the engine kernel implements reference and standard rules"
     assert n_tables % TABLES_PER_BLOCK == 0
 
     # First hand via threefry (same consumption order as begin_hand).
@@ -617,8 +744,25 @@ def selfplay_perpetual_kernel(seed: int, cfg, n_tables: int, n_steps: int,
         chunk = min(steps_per_launch, n_steps - done)
         state = run_perpetual_prng(seed + done * 7919, state, P, chunk,
                                    cfg.small_blind, cfg.big_blind,
-                                   interpret=interpret)
+                                   rules=cfg.rules, interpret=interpret)
         done += chunk
     hands = int(jnp.sum(unpack_field(state, cfg, "hand_ct")))
     ovf = int(jnp.sum(unpack_field(state, cfg, "overflow")))
     return state, hands, ovf
+
+
+def position_deltas(state, cfg):
+    """Accumulated settled chip change per hand-order position across all
+    completed hands (position 0 = each hand's small blind): (sums[P],
+    hands). Mean bb/hand per position = sums / hands / big_blind — the
+    kernel-scale form of ``rollout.selfplay.position_winrates``."""
+    import numpy as np
+
+    P = cfg.num_seats
+    sums = np.array([
+        float(jnp.sum(unpack_field(state, cfg, "delta_sum", k)
+                      .astype(jnp.float32)))
+        for k in range(P)
+    ])
+    hands = int(jnp.sum(unpack_field(state, cfg, "hand_ct")))
+    return sums, hands

@@ -251,3 +251,59 @@ def sharded_tournaments(
     keys = jax.random.split(key, n_dev * tables_per_device)
     keys = jax.device_put(keys, NamedSharding(mesh, P(AXIS)))
     return play_tournament(keys, cfg, max_hands)
+
+
+def sharded_selfplay_kernel(
+    mesh: Mesh,
+    seed: int,
+    cfg: TableConfig,
+    blocks_per_device: int = 64,
+    n_steps: int = 256,
+):
+    """The whole-step engine kernel composed with the mesh: each device
+    runs its share of table blocks (distinct hardware-PRNG streams via the
+    axis index) and the completed-hand counter psum-reduces over ICI — the
+    v4-8 deployment shape of the betting-hands metric. TPU-only (the
+    Mosaic PRNG primitives do not run on CPU); on one chip it degenerates
+    to the single-kernel path. Returns (final_packed_state, total_hands).
+    """
+    import numpy as np
+
+    from montecarlo_tpu.ops.pallas_engine import (
+        TABLES_PER_BLOCK,
+        _field_layout,
+        pack_state,
+        run_perpetual_prng,
+    )
+
+    n_dev = mesh.devices.size
+    n_tables = n_dev * blocks_per_device * TABLES_PER_BLOCK
+    seats = cfg.num_seats
+    layout, _ = _field_layout(seats, cfg.rules)
+    hand_ct_row = layout["hand_ct"][0]
+
+    keys = jax.random.split(jax.random.key(seed), n_tables)
+    decks = jax.vmap(lambda k: jax.random.permutation(k, 52))(keys)
+    base = 2 * seats
+    pos = list(range(base)) + [base + 1, base + 2, base + 3, base + 5,
+                               base + 7]
+    state0 = pack_state(cfg, np.asarray(decks)[:, pos])
+    state0 = jax.device_put(state0, NamedSharding(mesh, P(AXIS)))
+
+    @jax.jit
+    def run(seed_arr, state):
+        def shard_fn(seed_arr, state):
+            dev_seed = seed_arr[0] + jax.lax.axis_index(AXIS) * I32(7919)
+            out = run_perpetual_prng(dev_seed, state, seats, n_steps,
+                                     cfg.small_blind, cfg.big_blind,
+                                     rules=cfg.rules)
+            hands = jnp.sum(out[:, hand_ct_row])
+            return out, jax.lax.psum(hands, AXIS)
+
+        return jax.shard_map(shard_fn, mesh=mesh,
+                             in_specs=(P(), P(AXIS)),
+                             out_specs=(P(AXIS), P()),
+                             check_vma=False)(seed_arr, state)
+
+    final, hands = run(jnp.asarray([seed], I32), state0)
+    return final, int(hands)

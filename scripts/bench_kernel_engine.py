@@ -30,8 +30,10 @@ def main():
     ap.add_argument("--tables", type=int, default=1 << 20)
     ap.add_argument("--steps", type=int, default=512)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--rules", default="reference",
+                    choices=["reference", "standard"])
     args = ap.parse_args()
-    cfg = TableConfig(num_seats=6)
+    cfg = TableConfig(num_seats=6, rules=args.rules)
 
     if args.smoke:
         t0 = time.perf_counter()
@@ -69,7 +71,8 @@ def main():
     def once(seed):
         t0 = time.perf_counter()
         out = run_perpetual_prng(seed, state0, P, args.steps,
-                                 cfg.small_blind, cfg.big_blind)
+                                 cfg.small_blind, cfg.big_blind,
+                                 rules=cfg.rules)
         hands = int(jnp.sum(unpack_field(out, cfg, "hand_ct")))
         dt = time.perf_counter() - t0
         ovf = int(jnp.sum(unpack_field(out, cfg, "overflow")))
@@ -79,7 +82,7 @@ def main():
     once(0)  # warmup/compile
     dt, hands = min(once(i + 1) for i in range(3))
     print(json.dumps({
-        "mode": "kernel_perpetual",
+        "mode": "kernel_perpetual", "rules": args.rules,
         "tables": args.tables, "steps": args.steps,
         "hands_completed": hands,
         "steps_per_hand": args.tables * args.steps / max(hands, 1),

@@ -66,7 +66,7 @@ def check_engine_kernel() -> int:
     out = np.asarray(pe.run_perpetual_det(
         packed, act_in, cards_in, P, 24, CFG.small_blind, CFG.big_blind,
         jit=True))
-    ref = _replica(actions, decks, 24)
+    ref, _ = _replica(actions, decks, 24)
     clean = np.asarray(pe.unpack_field(jnp.asarray(out), CFG,
                                        "overflow")) == 0
 
@@ -106,6 +106,57 @@ def check_engine_kernel() -> int:
     failures += 0 if ok else 1
     print(f"engine kernel prng vs XLA: steps/hand {sph_k:.2f} vs {sph_x:.2f},"
           f" mean stack {stacks_k:.2f} vs {stacks_x:.2f}, overflow={ovf} "
+          f"[{'ok' if ok else 'FAIL'}]")
+
+    # (c) standard-rules PRNG mode: chips conserve EXACTLY (the standard
+    # accounting pays out every contributed chip; busted seats sit out).
+    cfg_std = TableConfig(num_seats=6, rules="standard")
+    n_t2 = 1 << 13
+    state2, hands2, ovf2 = pe.selfplay_perpetual_kernel(
+        9, cfg_std, n_t2, 256, steps_per_launch=256)
+    total_chips = sum(
+        int(jnp.sum(pe.unpack_field(state2, cfg_std, "stacks", k)))
+        for k in range(6))
+    # stacks are mid-hand here: add back the chips sitting in the current
+    # street and pots
+    layout_std, _ = pe._field_layout(6, "standard")
+    st_arr = jnp.asarray(state2)
+    in_play = 0
+    for name in ("lvl", "pot_amt"):
+        off, rows = layout_std[name]
+        if name == "lvl":
+            # street chips = sum over seats of contrib
+            coff, crows = layout_std["contrib"]
+            in_play += int(jnp.sum(st_arr[:, coff:coff + crows]))
+        else:
+            # pot chips = amt * |contributors| per slot row
+            aoff, arows = layout_std["pot_amt"]
+            soff, srows = layout_std["pot_set"]
+            amt = st_arr[:, aoff:aoff + arows]
+            pset = st_arr[:, soff:soff + srows]
+            popc = jnp.zeros_like(pset)
+            for k in range(6):
+                popc = popc + (jnp.right_shift(pset, k) & 1)
+            in_play += int(jnp.sum(amt * popc))
+    expected = n_t2 * 6 * cfg_std.starting_stack
+    ok = (ovf2 == 0 and hands2 > 0
+          and total_chips + in_play == expected)
+    failures += 0 if ok else 1
+    print(f"engine kernel standard rules: {hands2} hands, chips "
+          f"{total_chips}+{in_play} vs {expected} exact-conserved, "
+          f"overflow={ovf2} [{'ok' if ok else 'FAIL'}]")
+
+    # (d) mesh-composed kernel (shard_map + psum around the engine kernel)
+    from montecarlo_tpu.parallel.mesh import make_mesh, sharded_selfplay_kernel
+
+    mesh = make_mesh()
+    _, hands_m = sharded_selfplay_kernel(mesh, 7, cfg,
+                                         blocks_per_device=8, n_steps=256)
+    sph_m = mesh.devices.size * 8 * 1024 * 256 / max(hands_m, 1)
+    ok = abs(sph_m - sph_x) / sph_x < 0.05
+    failures += 0 if ok else 1
+    print(f"mesh+engine kernel: {hands_m} hands over "
+          f"{mesh.devices.size} device(s), steps/hand {sph_m:.2f} "
           f"[{'ok' if ok else 'FAIL'}]")
     return failures
 

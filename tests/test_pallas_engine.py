@@ -25,8 +25,20 @@ P = 6
 N_CARDS = 2 * P + 5
 T = TABLES_PER_BLOCK
 HMAX = 12
-CFG = TableConfig(num_seats=P, max_layers=6, max_pot_layers=24,
-                  rules="reference", bets_impl="levels")
+
+
+def make_cfg(rules="reference"):
+    # Capacities must match the kernel's (engine kernel L: 6 reference /
+    # 10 standard; pots = 4 street slots), or the two sides would drop
+    # layers at different points under adversarial streams.
+    if rules == "reference":
+        return TableConfig(num_seats=P, max_layers=6, max_pot_layers=24,
+                           rules=rules, bets_impl="levels")
+    return TableConfig(num_seats=P, max_layers=10, max_pot_layers=40,
+                       rules=rules, bets_impl="levels")
+
+
+CFG = make_cfg()
 
 
 def _streams(seed):
@@ -65,24 +77,48 @@ def _decks_from_cards(cards):
     return decks.astype(np.int32)
 
 
-def _replica(actions, decks, n_steps):
-    """XLA engine driven by the same injected streams."""
+def _replica(actions, decks, n_steps, cfg=CFG):
+    """XLA engine driven by the same injected streams. Returns (final
+    state, per-position settled delta sums [P]). step_table rotates and
+    posts blinds inside the step, so the settled stacks of a finished
+    hand are observed by recomputing the step's settle half with the same
+    engine functions (bit-identical by construction)."""
+    from montecarlo_tpu.engine.step import (
+        _advance_streets,
+        apply_action,
+        settle_showdown,
+    )
+
     actions = jnp.asarray(actions[:n_steps])
     decks = jnp.asarray(decks)
 
     def one(table_actions, table_decks):
-        st = init_state(jax.random.key(0), CFG)
+        st = init_state(jax.random.key(0), cfg)
         st = redeal(st, table_decks[0])
+        hand_start = jnp.full((P,), cfg.starting_stack, jnp.int32)
+        acc = jnp.zeros((P,), jnp.int32)
 
-        def body(st, a):
+        def body(carry, a):
+            st, hand_start, acc = carry
             prev = st.hand_idx
-            nxt = step_table(st, clamp_action(st, a), rules=CFG.rules)
+            ca = clamp_action(st, a)
+            nxt = step_table(st, ca, rules=cfg.rules)
+            changed = nxt.hand_idx != prev
+            # observation-only recompute of the settled stacks
+            settled = settle_showdown(
+                _advance_streets(apply_action(st, ca, rules=cfg.rules),
+                                 cfg.rules), rules=cfg.rules).stacks
+            acc = acc + jnp.where(changed, settled - hand_start, 0)
+            hand_start = jnp.where(changed, jnp.roll(settled, -1),
+                                   hand_start)
             redealt = redeal(nxt, table_decks[jnp.minimum(nxt.hand_idx,
                                                           HMAX - 1)])
-            return _select_tree(nxt.hand_idx != prev, redealt, nxt), None
+            nxt = _select_tree(changed, redealt, nxt)
+            return (nxt, hand_start, acc), None
 
-        st, _ = jax.lax.scan(body, st, table_actions)
-        return st
+        (st, _, acc), _ = jax.lax.scan(
+            body, (st, hand_start, acc), table_actions)
+        return st, acc
 
     return jax.vmap(one, in_axes=(1, 0))(actions, decks)
 
@@ -93,25 +129,30 @@ def _bitmask(bools):
             << np.arange(P)[None, :]).sum(axis=1).astype(np.int32)
 
 
-@pytest.mark.parametrize("n_steps", [6, 24, 48])
-def test_kernel_matches_engine(n_steps):
+@pytest.mark.parametrize("rules,n_steps", [
+    ("reference", 6), ("reference", 24), ("reference", 48),
+    ("standard", 24), ("standard", 48),
+])
+def test_kernel_matches_engine(rules, n_steps):
+    cfg = make_cfg(rules)
     actions, cards = _streams(11)
     decks = _decks_from_cards(cards)
 
-    packed = pack_state(CFG, cards[:, 0])
+    packed = pack_state(cfg, cards[:, 0])
     from montecarlo_tpu.ops.pallas_engine import TILE
     act_in = jnp.asarray(
         actions[:n_steps].reshape(n_steps, *TILE)[None])
     cards_in = jnp.asarray(
         cards.transpose(1, 2, 0).reshape(HMAX, N_CARDS, *TILE)[None])
     out = run_perpetual_det(packed, act_in, cards_in, P, n_steps,
-                            CFG.small_blind, CFG.big_blind, interpret=True)
+                            cfg.small_blind, cfg.big_blind, rules=rules,
+                            interpret=True)
     out = np.asarray(out)
 
-    ref = _replica(actions, decks, n_steps)
+    ref, ref_deltas = _replica(actions, decks, n_steps, cfg)
 
     def col(name, i=0):
-        return np.asarray(unpack_field(out, CFG, name, i))
+        return np.asarray(unpack_field(out, cfg, name, i))
 
     # The injected stream raises more densely than the real policy's
     # per-street bound, so a few tables legitimately hit the L=6 street
@@ -133,11 +174,13 @@ def test_kernel_matches_engine(n_steps):
     eq(col("order"), _bitmask(ref.order_mask), "order")
     for k in range(P):
         eq(col("stacks", k), ref.stacks[:, k], f"stacks[{k}]")
-    for j in range(6):
+    for j in range(cfg.max_layers):
         eq(col("lvl", j), ref.bets.level[:, j], f"lvl[{j}]")
         eq(col("ln", j), ref.bets.n[:, j], f"ln[{j}]")
     for k in range(P):
         eq(col("contrib", k), ref.bets.contrib[:, k], f"contrib[{k}]")
+    for k in range(P):
+        eq(col("delta_sum", k), ref_deltas[:, k], f"delta_sum[{k}]")
     # at least some hands completed at the longer horizons
     if n_steps >= 24:
         assert col("hand_ct").sum() > 0

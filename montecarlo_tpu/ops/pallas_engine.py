@@ -96,9 +96,9 @@ def _field_layout(P: int, rules: str = "reference"):
     fields = [
         ("stage", 1), ("cursor", 1), ("street_raises", 1),
         ("folded", 1), ("in_hand", 1), ("to_act", 1), ("order", 1),
-        ("hand_ct", 1), ("overflow", 1),
+        ("hand_ct", 1), ("overflow", 1), ("button", 1),
         ("stacks", P), ("contrib", P), ("hole0", P), ("hole1", P),
-        ("hand_start", P), ("delta_sum", P),
+        ("hand_start", P), ("delta_sum", P), ("seat_delta", P),
         ("board", 5), ("lvl", _L_for(rules)), ("ln", _L_for(rules)),
         ("pot_amt", 4 * _L_for(rules)), ("pot_set", 4 * _L_for(rules)),
     ]
@@ -254,7 +254,7 @@ def _sample_cards(shape, k):
 
 
 def _engine_step(st, raw_action, new_cards, P, sb, bb,
-                 rules="reference"):
+                 rules="reference", ss=100, reset_stacks=False):
     """One ``step_table`` on a block dict (tables = trailing (8, 128)).
 
     ``raw_action``: [8,128] pre-clamp policy action. ``new_cards``:
@@ -412,14 +412,30 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
     # Per-position settled chip delta for the finished hand (position 0 =
     # that hand's small blind; blinds paid are included — same accounting
     # as rollout.selfplay.play_hands collect_deltas).
-    delta_sum = st["delta_sum"] + jnp.where(
-        ended[None], stacks - st["hand_start"], 0)
+    delta = stacks - st["hand_start"]
+    delta_sum = st["delta_sum"] + jnp.where(ended[None], delta, 0)
+    # Seat-space meters: seat = (button + position) % P, so the seat view
+    # of the positional delta vector is roll(delta, button) — composed
+    # from static rolls under a select (gather-free).
+    seat_delta_inc = jnp.where(st["button"][None] == 0, delta, 0)
+    for b in range(1, P):
+        rolled = jnp.concatenate([delta[-b:], delta[:-b]], axis=0)
+        seat_delta_inc = seat_delta_inc + jnp.where(
+            st["button"][None] == b, rolled, 0)
+    seat_delta = st["seat_delta"] + jnp.where(ended[None], seat_delta_inc,
+                                              0)
+    button = jnp.where(ended, (st["button"] + 1) % P, st["button"])
 
     # --- next hand (state.py:next_hand + begin_hand) ---
     # Rotate the players list by one (gameplay.clj:136-137): new position k
     # = old k+1; then blinds (unconditional under reference rules; capped
     # at the stack under standard) and the injected/PRNG deal.
     rot = jnp.concatenate([stacks[1:], stacks[:1]], axis=0)
+    if reset_stacks:
+        # Independent-hand evaluation mode: every hand starts from full
+        # stacks (the kernel analog of single-hand duplicate evaluation;
+        # seats still rotate through positions via the button).
+        rot = jnp.full_like(rot, ss)
     seats = _iota(P)
     hand_start = jnp.where(ended[None], rot, st["hand_start"])
     full = (1 << P) - 1
@@ -481,10 +497,11 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
         "stage": stage, "cursor": cursor, "street_raises": street_raises,
         "folded": folded, "in_hand": in_hand, "to_act": to_act,
         "order": order, "hand_ct": hand_ct,
-        "overflow": st["overflow"] | ovf.astype(I32),
+        "overflow": st["overflow"] | ovf.astype(I32), "button": button,
         "stacks": stacks, "contrib": contrib,
         "hole0": hole0, "hole1": hole1, "board": board,
         "hand_start": hand_start, "delta_sum": delta_sum,
+        "seat_delta": seat_delta,
         "lvl": lvl, "ln": ln,
         "pot_amt": pots_amt.reshape(4 * n_lvl, *TILE),
         "pot_set": pots_set.reshape(4 * n_lvl, *TILE),
@@ -766,3 +783,234 @@ def position_deltas(state, cfg):
     ])
     hands = int(jnp.sum(unpack_field(state, cfg, "hand_ct")))
     return sums, hands
+
+
+# ---------------------------------------------------------------------------
+# In-kernel policy network: seat-pinned trained-agent evaluation
+# ---------------------------------------------------------------------------
+
+def _masked_suit_masks(cards, valids):
+    """Suit masks over (card, valid) pairs — the masked form of
+    ``_suit_masks`` (models/features.py:_masked_suit_masks)."""
+    pa = jnp.zeros_like(cards[0])
+    pb = jnp.zeros_like(cards[0])
+    one = jnp.ones_like(cards[0])
+    for card, valid in zip(cards, valids):
+        suit = jnp.right_shift(card * 5, 6)
+        pos = (card - 13 * suit + 2) | jnp.left_shift(suit & 1, 4)
+        bitv = jnp.where(valid, jnp.left_shift(one, pos), 0)
+        hi = suit > 1
+        pa = pa | jnp.where(hi, 0, bitv)
+        pb = pb | jnp.where(hi, bitv, 0)
+    mask15 = (1 << 15) - 1
+    return [pa & mask15, jnp.right_shift(pa, 16) & mask15,
+            pb & mask15, jnp.right_shift(pb, 16) & mask15]
+
+
+def _features(st, head, P, bb):
+    """models/features.py:state_features on block arrays — the exact
+    feature order and (hardcoded /100) normalizations the trained policy
+    artifacts expect. Returns a list of 20 float32 [8,128] arrays."""
+    from montecarlo_tpu import handval as hv
+    from montecarlo_tpu.ops.evaluator import eval_masks_impl
+
+    F32 = jnp.float32
+    total = _street_total(st["lvl"])
+    pot = total + jnp.sum(st["pot_amt"], axis=0)
+    needed = total - _pick(st["contrib"], head)
+    stack = _pick(st["stacks"], head)
+    stage = st["stage"]
+    n_comm = jnp.where(stage == 0, 0,
+                       jnp.where(stage == 1, 3,
+                                 jnp.where(stage == 2, 4, 5)))
+
+    hole0 = _pick(st["hole0"], head)
+    hole1 = _pick(st["hole1"], head)
+    cards = [hole0, hole1] + [st["board"][i] for i in range(5)]
+    true_ = jnp.ones_like(stage) != 0
+    valids = [true_, true_] + [i < n_comm for i in range(5)]
+    key = eval_masks_impl(*_masked_suit_masks(cards, valids))
+    # route through int32: Mosaic has no uint32 -> f32 cast (both payloads
+    # are < 2^12 after the shifts, so int32 is exact)
+    key = key.astype(jnp.uint32)
+    category = jnp.right_shift(key, hv.CAT_SHIFT).astype(I32) \
+        .astype(F32) / 8.0
+    top_rank = (jnp.right_shift(key, 16) & 0xF).astype(I32) \
+        .astype(F32) / 14.0
+
+    r0 = (2 + hole0 % 13).astype(F32) / 14.0
+    r1 = (2 + hole1 % 13).astype(F32) / 14.0
+    suited = (jnp.right_shift(hole0 * 5, 6)
+              == jnp.right_shift(hole1 * 5, 6)).astype(F32)
+    paired = (hole0 % 13 == hole1 % 13).astype(F32)
+
+    n_in = jnp.sum(_mask_bits(st["in_hand"], P), axis=0)
+    n_act = jnp.sum(_mask_bits(st["to_act"], P), axis=0)
+    pot_f = pot.astype(F32)
+    needed_f = needed.astype(F32)
+
+    return [
+        (stage == 0).astype(F32), (stage == 1).astype(F32),
+        (stage == 2).astype(F32), (stage == 3).astype(F32),
+        n_comm.astype(F32) / 5.0,
+        pot_f / (100.0 * P),
+        needed_f / 100.0,
+        stack.astype(F32) / 100.0,
+        (needed == 0).astype(F32),
+        n_in.astype(F32) / P,
+        n_act.astype(F32) / P,
+        head.astype(F32) / P,
+        pot_f / jnp.maximum(needed_f + pot_f, 1.0),
+        needed_f / float(bb) / 10.0,
+        category, top_rank, r0, r1, suited, paired,
+    ]
+
+
+def _net_action(st, head, P, sb, bb, w_refs):
+    """models/policy_net.py:net_policy on block arrays: MLP logits via
+    MXU matmuls (tables flattened to the matmul minor dim), categorical
+    sampling via Gumbel argmax, menu mapping fold/call/2bb/pot."""
+    del sb
+    w1t, b1, w2t, b2, w3t, b3 = w_refs
+    F32 = jnp.float32
+    feats = _features(st, head, P, bb)
+    fl = jnp.stack(feats, axis=0)  # [n_feats, 8, 128]
+
+    def dense(wt, b, x):
+        # [out, in] x [in, 8, 128] -> [out, 8, 128]: a direct contraction
+        # keeps the block tile layout (reshaping the tile to a [., 1024]
+        # matmul minor dim forced per-step relayouts).
+        y = jax.lax.dot_general(wt[:], x, (((1,), (0,)), ((), ())),
+                                preferred_element_type=F32)
+        return y + b[:][..., None]
+
+    h = jax.nn.relu(dense(w1t, b1, fl))
+    h = jax.nn.relu(dense(w2t, b2, h))
+    logits = dense(w3t, b3, h)  # [4, 8, 128]
+
+    total = _street_total(st["lvl"])
+    needed = total - _pick(st["contrib"], head)
+    free = needed == 0
+    # folding with nothing owed is masked (policy_net.py:80-81)
+    logits = jnp.where(_iota(4) == 0,
+                       logits + jnp.where(free, -1e9, 0.0)[None], logits)
+    # >>8 keeps 24 bits: fits int32, whose f32 cast Mosaic supports
+    # (uint32 -> f32 does not lower).
+    u = jnp.right_shift(pltpu.prng_random_bits((4,) + TILE)
+                        .astype(jnp.uint32), 8).astype(I32).astype(F32) \
+        * (2.0 ** -24)
+    g = -jnp.log(-jnp.log(jnp.maximum(u, 1e-12)))
+    z = logits + g
+    m = jnp.max(z, axis=0)
+    idx = jnp.min(jnp.where(z == m[None], _iota(4), 4), axis=0)
+
+    pot = total + jnp.sum(st["pot_amt"], axis=0)
+    small = 2 * bb
+    pot_raise = jnp.maximum(pot + needed, small)
+    return jnp.where(idx == 0, -1,
+                     jnp.where(idx == 1, 0,
+                               jnp.where(idx == 2, small, pot_raise)))
+
+
+def _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
+                     net_seats: int, reset_stacks: bool):
+    n_cards = 2 * P + 5
+
+    def kernel(seed_ref, state_ref, w1t, b1, w2t, b2, w3t, b3, out_ref):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        st = _unpack(state_ref[0], layout)
+        w_refs = (w1t, b1, w2t, b2, w3t, b3)
+
+        def body(_, st):
+            rand = _policy_prng(st, P)
+            head, _, _ = _head_info(st, P)
+            head_seat = (st["button"] + head) % P
+            use_net = (jnp.right_shift(
+                jnp.full_like(head_seat, net_seats), head_seat) & 1) != 0
+            net = _net_action(st, head, P, sb, bb, w_refs)
+            raw = jnp.where(use_net, net, rand)
+            cards = _sample_cards(TILE, n_cards)
+            return _engine_step(st, raw, cards, P, sb, bb, rules, ss,
+                                reset_stacks=reset_stacks)
+
+        st = jax.lax.fori_loop(0, n_steps, body, st)
+        out_ref[0] = _pack(st, layout, F)
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("P", "n_steps", "sb", "bb", "ss",
+                                   "rules", "net_seats", "reset_stacks",
+                                   "interpret"))
+def run_net_eval(seed, state, weights, P: int, n_steps: int, sb: int,
+                 bb: int, ss: int, rules: str, net_seats: int,
+                 reset_stacks: bool = True, interpret: bool = False):
+    layout, F = _field_layout(P, rules)
+    n_blocks = state.shape[0]
+    state_spec = pl.BlockSpec((1, F) + TILE, lambda i: (i, 0, 0, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
+                         net_seats, reset_stacks),
+        grid=(n_blocks,),
+        in_specs=[smem, state_spec] + [vmem] * 6,
+        out_specs=state_spec,
+        out_shape=jax.ShapeDtypeStruct(state.shape, I32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(jnp.asarray(seed, I32).reshape(1), state, *weights)
+
+
+def selfplay_net_eval_kernel(seed: int, cfg, params, net_seats: int,
+                             n_tables: int, n_steps: int,
+                             steps_per_launch: int = 256):
+    """Seat-pinned policy-net evaluation at kernel speed: seats whose bit
+    is set in ``net_seats`` play the trained net (models/policy_net.py),
+    the rest play ``random_policy``; every hand starts from full stacks
+    (independent-hand evaluation; the button rotates seats through
+    positions) and per-SEAT settled deltas accumulate in-kernel.
+
+    Returns ``(bb_per_hand[P], stderr[P], hands)`` — mean chips/hand per
+    stable seat in big blinds, with a per-table-clustered standard error.
+    """
+    import numpy as np
+
+    P = cfg.num_seats
+    assert cfg.rules in ("reference", "standard")
+    assert n_tables % TABLES_PER_BLOCK == 0
+
+    keys = jax.random.split(jax.random.key(seed), n_tables)
+    decks = jax.vmap(lambda k: jax.random.permutation(k, 52))(keys)
+    base = 2 * P
+    pos = list(range(base)) + [base + 1, base + 2, base + 3, base + 5,
+                               base + 7]
+    state = pack_state(cfg, np.asarray(decks)[:, pos])
+
+    weights = (
+        jnp.asarray(params.w1.T, jnp.float32),
+        jnp.asarray(params.b1, jnp.float32).reshape(-1, 1),
+        jnp.asarray(params.w2.T, jnp.float32),
+        jnp.asarray(params.b2, jnp.float32).reshape(-1, 1),
+        jnp.asarray(params.w3.T, jnp.float32),
+        jnp.asarray(params.b3, jnp.float32).reshape(-1, 1),
+    )
+    done = 0
+    while done < n_steps:
+        chunk = min(steps_per_launch, n_steps - done)
+        state = run_net_eval(seed + done * 7919, state, weights, P, chunk,
+                             cfg.small_blind, cfg.big_blind,
+                             cfg.starting_stack, cfg.rules, net_seats)
+        done += chunk
+
+    hands_t = np.asarray(unpack_field(state, cfg, "hand_ct"), np.float64)
+    hands = hands_t.sum()
+    bb = cfg.big_blind
+    means, errs = [], []
+    for k in range(P):
+        d = np.asarray(unpack_field(state, cfg, "seat_delta", k),
+                       np.float64)
+        means.append(d.sum() / max(hands, 1) / bb)
+        per_table = d / np.maximum(hands_t, 1) / bb
+        errs.append(per_table.std(ddof=1) / np.sqrt(len(per_table)))
+    return np.array(means), np.array(errs), int(hands)

@@ -146,7 +146,29 @@ def check_engine_kernel() -> int:
           f"{total_chips}+{in_play} vs {expected} exact-conserved, "
           f"overflow={ovf2} [{'ok' if ok else 'FAIL'}]")
 
-    # (d) mesh-composed kernel (shard_map + psum around the engine kernel)
+    # (d) in-kernel policy net: the trained artifact must beat the
+    # untrained net at its pinned seat with separated confidence intervals
+    # (validates features, MXU logits, and Gumbel sampling end to end).
+    from montecarlo_tpu.models.policy_net import init_params, load_params
+
+    cfg_net = TableConfig(num_seats=6, rules="standard")
+    try:
+        trained = load_params("data/policy_6max_200.npz")
+        mt, et, _ = pe.selfplay_net_eval_kernel(
+            11, cfg_net, trained, net_seats=1, n_tables=1 << 14,
+            n_steps=256)
+        mu, eu, _ = pe.selfplay_net_eval_kernel(
+            11, cfg_net, init_params(jax.random.key(0)), net_seats=1,
+            n_tables=1 << 14, n_steps=256)
+        ok = mt[0] - 2 * et[0] > mu[0] + 2 * eu[0] > 0
+        failures += 0 if ok else 1
+        print(f"in-kernel policy net: trained {mt[0]:+.3f}±{et[0]:.3f} "
+              f"bb/hand at seat 0 vs untrained {mu[0]:+.3f}±{eu[0]:.3f} "
+              f"[{'ok' if ok else 'FAIL'}]")
+    except FileNotFoundError:
+        print("in-kernel policy net: artifact missing [skip]")
+
+    # (e) mesh-composed kernel (shard_map + psum around the engine kernel)
     from montecarlo_tpu.parallel.mesh import make_mesh, sharded_selfplay_kernel
 
     mesh = make_mesh()

@@ -184,3 +184,43 @@ def test_kernel_matches_engine(rules, n_steps):
     # at least some hands completed at the longer horizons
     if n_steps >= 24:
         assert col("hand_ct").sum() > 0
+
+
+def test_kernel_features_match_models():
+    """The kernel's in-block feature builder must reproduce
+    models.features.state_features exactly (same ops on CPU) on states
+    reached by real play — feature parity is what makes the trained
+    policy artifacts valid inside the kernel."""
+    from montecarlo_tpu.models.features import state_features
+    from montecarlo_tpu.ops import pallas_engine as pe
+
+    cfg = make_cfg("standard")
+    actions, cards = _streams(31)
+    decks = _decks_from_cards(cards)
+    n_steps = 24
+
+    packed = pack_state(cfg, cards[:, 0])
+    act_in = jnp.asarray(actions[:n_steps].reshape(n_steps, *pe.TILE)[None])
+    cards_in = jnp.asarray(
+        cards.transpose(1, 2, 0).reshape(HMAX, N_CARDS, *pe.TILE)[None])
+    out = run_perpetual_det(packed, act_in, cards_in, P, n_steps,
+                            cfg.small_blind, cfg.big_blind,
+                            rules=cfg.rules, interpret=True)
+
+    # kernel-side features on the packed output block
+    layout, _ = pe._field_layout(P, cfg.rules)
+    block = jnp.asarray(out[0])
+    st = pe._unpack(block, layout)
+    head, _, exists = pe._head_info(st, P)
+    feats_k = jnp.stack(pe._features(st, head, P, cfg.big_blind),
+                        axis=0).reshape(20, -1)  # [20, T]
+
+    # model-side features on the trajectory-equal XLA states
+    ref, _ = _replica(actions, decks, n_steps, cfg)
+    feats_m = jax.vmap(state_features)(ref)  # [T, 20]
+
+    live = np.asarray(exists).reshape(-1)
+    got = np.asarray(feats_k).T[live]
+    want = np.asarray(feats_m)[live]
+    assert np.allclose(got, want, atol=1e-5), (
+        np.abs(got - want).max(axis=0))

@@ -265,6 +265,7 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
     from montecarlo_tpu.ops.evaluator import eval_masks_cmp_impl
 
     reference = rules == "reference"
+    tournament = rules == "tournament"
     n_lvl = st["lvl"].shape[0]
     zero = jnp.zeros_like(st["stage"])
     head, cursor_after, exists = _head_info(st, P)
@@ -424,24 +425,46 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
             st["button"][None] == b, rolled, 0)
     seat_delta = st["seat_delta"] + jnp.where(ended[None], seat_delta_inc,
                                               0)
-    button = jnp.where(ended, (st["button"] + 1) % P, st["button"])
 
     # --- next hand (state.py:next_hand + begin_hand) ---
     # Rotate the players list by one (gameplay.clj:136-137): new position k
     # = old k+1; then blinds (unconditional under reference rules; capped
     # at the stack under standard) and the injected/PRNG deal.
-    rot = jnp.concatenate([stacks[1:], stacks[:1]], axis=0)
+    if tournament:
+        # True elimination (state.py:next_hand tournament): rotate by the
+        # distance to the next ALIVE position (blinds advance over busted
+        # seats); once <=1 player holds chips the table FREEZES — setting
+        # the play order empty makes the no-head guard a fixpoint.
+        alive_pos = stacks > 0  # [P, 8, 128], settled position space
+        n_alive = jnp.sum(alive_pos.astype(I32), axis=0)
+        shift = jnp.min(jnp.where(alive_pos & (_iota(P) >= 1), _iota(P), P),
+                        axis=0)
+        shift = jnp.clip(shift, 1, P - 1)
+        rot = jnp.where(shift[None] == 1,
+                        jnp.concatenate([stacks[1:], stacks[:1]], axis=0),
+                        stacks)
+        for b in range(2, P):
+            rolled = jnp.concatenate([stacks[b:], stacks[:b]], axis=0)
+            rot = jnp.where(shift[None] == b, rolled, rot)
+        freeze = ended & (n_alive <= 1)
+        redeal = ended & ~freeze
+        button_shift = shift
+    else:
+        rot = jnp.concatenate([stacks[1:], stacks[:1]], axis=0)
+        freeze = jnp.zeros_like(ended)
+        redeal = ended
+        button_shift = 1
     if reset_stacks:
         # Independent-hand evaluation mode: every hand starts from full
         # stacks (the kernel analog of single-hand duplicate evaluation;
         # seats still rotate through positions via the button).
         rot = jnp.full_like(rot, ss)
     seats = _iota(P)
-    hand_start = jnp.where(ended[None], rot, st["hand_start"])
+    hand_start = jnp.where(redeal[None], rot, st["hand_start"])
     full = (1 << P) - 1
     if reference:
         blinds = jnp.where(seats == 0, sb, jnp.where(seats == 1, bb, 0))
-        stacks = jnp.where(ended[None], rot - blinds, stacks)
+        stacks = jnp.where(redeal[None], rot - blinds, stacks)
         lo, hi = min(sb, bb), max(sb, bb)
         if sb == bb:
             b_lvl, b_ln = [lo, 0], [2, 0]
@@ -452,40 +475,69 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
                               jnp.where(rows == 1, b_lvl[1], 0)) + zero[None]
         blind_ln = jnp.where(rows == 0, b_ln[0],
                              jnp.where(rows == 1, b_ln[1], 0)) + zero[None]
-        lvl = jnp.where(ended[None], blind_lvl, lvl)
-        ln = jnp.where(ended[None], blind_ln, ln)
-        contrib = jnp.where(ended[None], blinds + zero[None], contrib)
+        lvl = jnp.where(redeal[None], blind_lvl, lvl)
+        ln = jnp.where(redeal[None], blind_ln, ln)
+        contrib = jnp.where(redeal[None], blinds + zero[None], contrib)
         to_act_new = order_new = full + zero
+        in_hand_new = full + zero
+        cursor0 = 2 % P + zero
         all_in_next = all_in
     else:
+        if tournament:
+            # Dead seats leave the deal; the big blind goes to the first
+            # alive position >= 1 and action starts after it
+            # (state.py:begin_hand tournament).
+            alive_new = rot > 0
+            alive_bm = jnp.sum(jnp.where(alive_new, _seat_bits(P), 0),
+                               axis=0)
+            bb_pos = jnp.min(jnp.where(alive_new & (_iota(P) >= 1),
+                                       _iota(P), P), axis=0)
+            bb_pos = jnp.minimum(bb_pos, P - 1)
+            is_bb = _iota(P) == bb_pos[None]
+            pay1_cap = _pick(rot, bb_pos)
+            cursor0 = (bb_pos + 1) % P
+            in_hand_new = alive_bm
+        else:
+            is_bb = _iota(P) == 1
+            pay1_cap = rot[1]
+            cursor0 = 2 % P + zero
+            in_hand_new = full + zero
         pay0 = jnp.clip(sb, 0, jnp.maximum(rot[0], 0))
-        pay1 = jnp.clip(bb, 0, jnp.maximum(rot[1], 0))
+        pay1 = jnp.clip(bb, 0, jnp.maximum(pay1_cap, 0))
         pays = jnp.where(seats == 0, pay0[None],
-                         jnp.where(seats == 1, pay1[None], 0))
+                         jnp.where(is_bb, pay1[None], 0))
         new_stacks = rot - pays
-        stacks = jnp.where(ended[None], new_stacks, stacks)
+        stacks = jnp.where(redeal[None], new_stacks, stacks)
         z = jnp.zeros_like(st["lvl"])
         l1, n1, _ = _street_update(z, z, pay0, pay0 > 0)
         l2, n2, _ = _street_update(l1, n1, pay1, pay1 > 0)
-        lvl = jnp.where(ended[None], l2, lvl)
-        ln = jnp.where(ended[None], n2, ln)
-        contrib = jnp.where(ended[None], pays, contrib)
-        # all-in blinds and busted seats sit out as all-in-for-nothing
-        allin_bm = jnp.sum(jnp.where(new_stacks <= 0, _seat_bits(P), 0),
-                           axis=0)
-        all_in_next = jnp.where(ended, allin_bm, all_in)
-        to_act_new = order_new = full & ~allin_bm
-    in_hand = jnp.where(ended, full, in_hand)
-    to_act = jnp.where(ended, to_act_new, to_act)
-    order = jnp.where(ended, order_new, order)
-    folded = jnp.where(ended, zero, folded)
-    cursor = jnp.where(ended, 2 % P, cursor)
-    stage = jnp.where(ended, zero, stage)
-    hole0 = jnp.where(ended[None], new_cards[:P], st["hole0"])
-    hole1 = jnp.where(ended[None], new_cards[P:2 * P], st["hole1"])
-    board = jnp.where(ended[None], new_cards[2 * P:], st["board"])
+        lvl = jnp.where(redeal[None], l2, lvl)
+        ln = jnp.where(redeal[None], n2, ln)
+        contrib = jnp.where(redeal[None], pays, contrib)
+        # all-in blinds (and, under standard rules, busted seats) sit out
+        # as all-in-for-nothing but stay showdown-live
+        dead_bm = jnp.sum(jnp.where(new_stacks <= 0, _seat_bits(P), 0),
+                          axis=0)
+        allin_bm = dead_bm & in_hand_new
+        all_in_next = jnp.where(redeal, allin_bm, all_in)
+        to_act_new = order_new = in_hand_new & ~allin_bm
+    in_hand = jnp.where(redeal, in_hand_new, in_hand)
+    to_act = jnp.where(redeal, to_act_new, to_act)
+    order = jnp.where(redeal, order_new, order)
+    folded = jnp.where(redeal, zero, folded)
+    cursor = jnp.where(redeal, cursor0, cursor)
+    stage = jnp.where(redeal, zero, stage)
+    hole0 = jnp.where(redeal[None], new_cards[:P], st["hole0"])
+    hole1 = jnp.where(redeal[None], new_cards[P:2 * P], st["hole1"])
+    board = jnp.where(redeal[None], new_cards[2 * P:], st["board"])
     pots_amt = jnp.where(ended[None, None], 0, pots_amt)
     pots_set = jnp.where(ended[None, None], 0, pots_set)
+    # Tournament freeze: empty play order makes the no-head guard a
+    # permanent no-op (the XLA engine's terminal hand_over state).
+    to_act = jnp.where(freeze, zero, to_act)
+    order = jnp.where(freeze, zero, order)
+    button = jnp.where(redeal, (st["button"] + button_shift) % P,
+                       st["button"])
 
     # street_raises: reset on street or hand change (selfplay.py:140-147).
     applied = (action > 0) & exists
@@ -656,7 +708,7 @@ def pack_state(cfg, first_cards):
 
     P = cfg.num_seats
     rules = cfg.rules
-    assert rules in ("reference", "standard"), rules
+    assert rules in ("reference", "standard", "tournament"), rules
     layout, F = _field_layout(P, rules)
     n_tables = first_cards.shape[0]
     assert n_tables % TABLES_PER_BLOCK == 0
@@ -743,8 +795,7 @@ def selfplay_perpetual_kernel(seed: int, cfg, n_tables: int, n_steps: int,
     import numpy as np
 
     P = cfg.num_seats
-    assert cfg.rules in ("reference", "standard"), \
-        "the engine kernel implements reference and standard rules"
+    assert cfg.rules in ("reference", "standard", "tournament")
     assert n_tables % TABLES_PER_BLOCK == 0
 
     # First hand via threefry (same consumption order as begin_hand).

@@ -66,7 +66,7 @@ def check_engine_kernel() -> int:
     out = np.asarray(pe.run_perpetual_det(
         packed, act_in, cards_in, P, 24, CFG.small_blind, CFG.big_blind,
         jit=True))
-    ref, _ = _replica(actions, decks, 24)
+    ref, _, ref_done = _replica(actions, decks, 24)
     clean = np.asarray(pe.unpack_field(jnp.asarray(out), CFG,
                                        "overflow")) == 0
 
@@ -75,7 +75,7 @@ def check_engine_kernel() -> int:
 
     ok = clean.mean() > 0.9
     ok &= np.array_equal(col("hand_ct")[clean],
-                         np.asarray(ref.hand_idx)[clean])
+                         np.asarray(ref_done)[clean])
     ok &= np.array_equal(col("folded")[clean], _bitmask(ref.folded)[clean])
     for k in range(P):
         ok &= np.array_equal(col("stacks", k)[clean],
@@ -145,6 +145,29 @@ def check_engine_kernel() -> int:
     print(f"engine kernel standard rules: {hands2} hands, chips "
           f"{total_chips}+{in_play} vs {expected} exact-conserved, "
           f"overflow={ovf2} [{'ok' if ok else 'FAIL'}]")
+
+    # (c2) tournament rules: tables must terminate (freeze) with the
+    # winner holding every chip — true elimination at kernel speed.
+    cfg_t = TableConfig(num_seats=6, rules="tournament")
+    n_t3 = 1 << 13
+    state3, hands3, ovf3 = pe.selfplay_perpetual_kernel(
+        13, cfg_t, n_t3, 2048, steps_per_launch=512)
+    stacks3 = np.stack([np.asarray(pe.unpack_field(state3, cfg_t,
+                                                   "stacks", k))
+                        for k in range(6)])
+    order3 = np.asarray(pe.unpack_field(state3, cfg_t, "order"))
+    frozen = order3 == 0
+    winner_all = stacks3.max(axis=0) == 6 * cfg_t.starting_stack
+    # conservation over frozen tables only — unfrozen ones hold chips in
+    # the live street/pots
+    ok = (ovf3 == 0 and frozen.mean() > 0.95
+          and bool(np.all(winner_all[frozen]))
+          and bool(np.all(stacks3.sum(axis=0)[frozen]
+                          == 6 * cfg_t.starting_stack)))
+    failures += 0 if ok else 1
+    print(f"engine kernel tournament: {frozen.mean():.1%} tables frozen "
+          f"after 2048 steps, winner-takes-all on every frozen table, "
+          f"chips exact, overflow={ovf3} [{'ok' if ok else 'FAIL'}]")
 
     # (d) in-kernel policy net: the trained artifact must beat the
     # untrained net at its pinned seat with separated confidence intervals

@@ -29,7 +29,7 @@ HMAX = 12
 
 def make_cfg(rules="reference"):
     # Capacities must match the kernel's (engine kernel L: 6 reference /
-    # 10 standard; pots = 4 street slots), or the two sides would drop
+    # 10 otherwise; pots = 4 street slots), or the two sides would drop
     # layers at different points under adversarial streams.
     if rules == "reference":
         return TableConfig(num_seats=P, max_layers=6, max_pot_layers=24,
@@ -97,28 +97,44 @@ def _replica(actions, decks, n_steps, cfg=CFG):
         st = redeal(st, table_decks[0])
         hand_start = jnp.full((P,), cfg.starting_stack, jnp.int32)
         acc = jnp.zeros((P,), jnp.int32)
+        done_ct = jnp.zeros((), jnp.int32)
 
         def body(carry, a):
-            st, hand_start, acc = carry
+            st, hand_start, acc, done_ct = carry
             prev = st.hand_idx
             ca = clamp_action(st, a)
             nxt = step_table(st, ca, rules=cfg.rules)
-            changed = nxt.hand_idx != prev
+            # hand COMPLETED this step: a redeal happened, or (tournament)
+            # the table froze terminal after its final settlement.
+            done = (nxt.hand_idx != prev) | (nxt.hand_over & ~st.hand_over)
+            done_ct = done_ct + done
             # observation-only recompute of the settled stacks
             settled = settle_showdown(
                 _advance_streets(apply_action(st, ca, rules=cfg.rules),
                                  cfg.rules), rules=cfg.rules).stacks
-            acc = acc + jnp.where(changed, settled - hand_start, 0)
-            hand_start = jnp.where(changed, jnp.roll(settled, -1),
-                                   hand_start)
+            acc = acc + jnp.where(done, settled - hand_start, 0)
+            # next hand's pre-blind stacks: the players list rotates by 1
+            # (reference/standard) or by the distance to the next alive
+            # position (tournament, state.py:next_hand).
+            if cfg.rules == "tournament":
+                alive = settled > 0
+                idxs = jnp.arange(P)
+                shift = jnp.clip(jnp.min(jnp.where(alive & (idxs >= 1),
+                                                   idxs, P)), 1, P - 1)
+                pre = settled
+                for k in range(1, P):
+                    pre = jnp.where(shift == k, jnp.roll(settled, -k), pre)
+            else:
+                pre = jnp.roll(settled, -1)
+            hand_start = jnp.where(done, pre, hand_start)
             redealt = redeal(nxt, table_decks[jnp.minimum(nxt.hand_idx,
                                                           HMAX - 1)])
-            nxt = _select_tree(changed, redealt, nxt)
-            return (nxt, hand_start, acc), None
+            nxt = _select_tree(nxt.hand_idx != prev, redealt, nxt)
+            return (nxt, hand_start, acc, done_ct), None
 
-        (st, _, acc), _ = jax.lax.scan(
-            body, (st, hand_start, acc), table_actions)
-        return st, acc
+        (st, _, acc, done_ct), _ = jax.lax.scan(
+            body, (st, hand_start, acc, done_ct), table_actions)
+        return st, acc, done_ct
 
     return jax.vmap(one, in_axes=(1, 0))(actions, decks)
 
@@ -131,7 +147,7 @@ def _bitmask(bools):
 
 @pytest.mark.parametrize("rules,n_steps", [
     ("reference", 6), ("reference", 24), ("reference", 48),
-    ("standard", 24), ("standard", 48),
+    ("standard", 24), ("standard", 48), ("tournament", 48),
 ])
 def test_kernel_matches_engine(rules, n_steps):
     cfg = make_cfg(rules)
@@ -149,7 +165,7 @@ def test_kernel_matches_engine(rules, n_steps):
                             interpret=True)
     out = np.asarray(out)
 
-    ref, ref_deltas = _replica(actions, decks, n_steps, cfg)
+    ref, ref_deltas, ref_done = _replica(actions, decks, n_steps, cfg)
 
     def col(name, i=0):
         return np.asarray(unpack_field(out, cfg, name, i))
@@ -165,7 +181,7 @@ def test_kernel_matches_engine(rules, n_steps):
     def eq(a, b, what):
         assert np.array_equal(a[clean], np.asarray(b)[clean]), what
 
-    eq(col("hand_ct"), ref.hand_idx, "hand counts")
+    eq(col("hand_ct"), ref_done, "hand counts")
     eq(col("stage"), ref.stage, "stage")
     eq(col("cursor"), ref.cursor, "cursor")
     eq(col("folded"), _bitmask(ref.folded), "folded")
@@ -216,7 +232,7 @@ def test_kernel_features_match_models():
                         axis=0).reshape(20, -1)  # [20, T]
 
     # model-side features on the trajectory-equal XLA states
-    ref, _ = _replica(actions, decks, n_steps, cfg)
+    ref, _, _ = _replica(actions, decks, n_steps, cfg)
     feats_m = jax.vmap(state_features)(ref)  # [T, 20]
 
     live = np.asarray(exists).reshape(-1)

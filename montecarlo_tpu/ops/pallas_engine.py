@@ -106,6 +106,8 @@ def _field_layout(P: int, rules: str = "reference"):
         fields.append(("pot_n", 4 * _L_for(rules)))
     else:
         fields.append(("all_in", 1))
+    if rules == "tournament":
+        fields.append(("bust_at", P))  # per-SEAT first-busted hand index
     layout, off = {}, 0
     for name, rows in fields:
         layout[name] = (off, rows)
@@ -425,6 +427,17 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
             st["button"][None] == b, rolled, 0)
     seat_delta = st["seat_delta"] + jnp.where(ended[None], seat_delta_inc,
                                               0)
+    if tournament:
+        # Record the 0-based hand index at which each SEAT first busted
+        # (rollout/selfplay.py:play_tournament's busted_at). Seat view of
+        # the settled positional stacks = roll(stacks, button).
+        seat_stacks = jnp.where(st["button"][None] == 0, stacks, 0)
+        for b in range(1, P):
+            rolled = jnp.concatenate([stacks[-b:], stacks[:-b]], axis=0)
+            seat_stacks = seat_stacks + jnp.where(st["button"][None] == b,
+                                                  rolled, 0)
+        newly = ended[None] & (seat_stacks <= 0) & (st["bust_at"] < 0)
+        bust_at = jnp.where(newly, st["hand_ct"][None], st["bust_at"])
 
     # --- next hand (state.py:next_hand + begin_hand) ---
     # Rotate the players list by one (gameplay.clj:136-137): new position k
@@ -563,6 +576,8 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
         out["pot_n"] = pots_n.reshape(4 * n_lvl, *TILE)
     else:
         out["all_in"] = all_in_next
+    if tournament:
+        out["bust_at"] = bust_at
     # No-head guard (step.py:step_table): full no-op when the play order is
     # empty — mirrors the XLA engine exactly (unreachable in practice).
     return {
@@ -748,7 +763,7 @@ def pack_state(cfg, first_cards):
         put("ln", 1, np.full(n_tables, 1))
     put("contrib", 0, np.full(n_tables, pay0))
     put("contrib", 1, np.full(n_tables, pay1))
-    if rules == "standard":
+    if rules in ("standard", "tournament"):
         allin = sum((1 << k) for k, b in
                     enumerate([pay0, pay1] + [0] * (P - 2))
                     if cfg.starting_stack - b <= 0)
@@ -758,6 +773,9 @@ def pack_state(cfg, first_cards):
     else:
         put("to_act", 0, np.full(n_tables, full))
         put("order", 0, np.full(n_tables, full))
+    if rules == "tournament":
+        for k in range(P):
+            put("bust_at", k, np.full(n_tables, -1))
     fc = np.asarray(first_cards, np.int32)
     for k in range(P):
         put("hole0", k, fc[:, k])
@@ -1065,3 +1083,32 @@ def selfplay_net_eval_kernel(seed: int, cfg, params, net_seats: int,
         per_table = d / np.maximum(hands_t, 1) / bb
         errs.append(per_table.std(ddof=1) / np.sqrt(len(per_table)))
     return np.array(means), np.array(errs), int(hands)
+
+
+def tournament_results(state, cfg):
+    """Kernel-scale tournament outcomes: per-seat finishing places
+    (1 = winner) from the in-kernel bust records + final stacks, the
+    kernel form of ``rollout.selfplay.tournament_placements``.
+
+    Unbusted seats outrank busted ones; later busts beat earlier; ties
+    (same bust hand / same stack) share by stable order. Returns
+    (placements [n_tables, P], frozen [n_tables] bool)."""
+    import numpy as np
+
+    assert cfg.rules == "tournament"
+    P = cfg.num_seats
+    bust = np.stack([np.asarray(unpack_field(state, cfg, "bust_at", k))
+                     for k in range(P)], axis=1).astype(np.int64)
+    # positional stacks -> seat view via the button
+    button = np.asarray(unpack_field(state, cfg, "button"))
+    stacks_pos = np.stack(
+        [np.asarray(unpack_field(state, cfg, "stacks", k))
+         for k in range(P)], axis=1).astype(np.int64)
+    idx = (np.arange(P)[None, :] - button[:, None]) % P
+    stacks = np.take_along_axis(stacks_pos, idx, axis=1)
+    frozen = np.asarray(unpack_field(state, cfg, "order")) == 0
+    alive_rank = np.where(bust < 0, np.iinfo(np.int32).max, bust)
+    key = alive_rank * (stacks.max() + 2) + stacks
+    places = np.argsort(np.argsort(-key, axis=1, kind="stable"),
+                        axis=1, kind="stable") + 1
+    return places, frozen

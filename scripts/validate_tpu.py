@@ -66,7 +66,7 @@ def check_engine_kernel() -> int:
     out = np.asarray(pe.run_perpetual_det(
         packed, act_in, cards_in, P, 24, CFG.small_blind, CFG.big_blind,
         jit=True))
-    ref, _, ref_done = _replica(actions, decks, 24)
+    ref, _, ref_done, _ = _replica(actions, decks, 24)
     clean = np.asarray(pe.unpack_field(jnp.asarray(out), CFG,
                                        "overflow")) == 0
 

@@ -98,20 +98,30 @@ def _replica(actions, decks, n_steps, cfg=CFG):
         hand_start = jnp.full((P,), cfg.starting_stack, jnp.int32)
         acc = jnp.zeros((P,), jnp.int32)
         done_ct = jnp.zeros((), jnp.int32)
+        bust = jnp.full((P,), -1, jnp.int32)
 
         def body(carry, a):
-            st, hand_start, acc, done_ct = carry
+            st, hand_start, acc, done_ct, bust = carry
             prev = st.hand_idx
             ca = clamp_action(st, a)
             nxt = step_table(st, ca, rules=cfg.rules)
             # hand COMPLETED this step: a redeal happened, or (tournament)
             # the table froze terminal after its final settlement.
             done = (nxt.hand_idx != prev) | (nxt.hand_over & ~st.hand_over)
-            done_ct = done_ct + done
             # observation-only recompute of the settled stacks
             settled = settle_showdown(
                 _advance_streets(apply_action(st, ca, rules=cfg.rules),
                                  cfg.rules), rules=cfg.rules).stacks
+            if cfg.rules == "tournament":
+                # seat view = roll(positional, button) (selfplay.py:
+                # play_tournament seat_view)
+                seat_stacks = settled
+                for b in range(1, P):
+                    seat_stacks = jnp.where(
+                        st.button == b, jnp.roll(settled, b), seat_stacks)
+                newly = done & (seat_stacks <= 0) & (bust < 0)
+                bust = jnp.where(newly, done_ct, bust)
+            done_ct = done_ct + done
             acc = acc + jnp.where(done, settled - hand_start, 0)
             # next hand's pre-blind stacks: the players list rotates by 1
             # (reference/standard) or by the distance to the next alive
@@ -130,11 +140,11 @@ def _replica(actions, decks, n_steps, cfg=CFG):
             redealt = redeal(nxt, table_decks[jnp.minimum(nxt.hand_idx,
                                                           HMAX - 1)])
             nxt = _select_tree(nxt.hand_idx != prev, redealt, nxt)
-            return (nxt, hand_start, acc, done_ct), None
+            return (nxt, hand_start, acc, done_ct, bust), None
 
-        (st, _, acc, done_ct), _ = jax.lax.scan(
-            body, (st, hand_start, acc, done_ct), table_actions)
-        return st, acc, done_ct
+        (st, _, acc, done_ct, bust), _ = jax.lax.scan(
+            body, (st, hand_start, acc, done_ct, bust), table_actions)
+        return st, acc, done_ct, bust
 
     return jax.vmap(one, in_axes=(1, 0))(actions, decks)
 
@@ -165,7 +175,8 @@ def test_kernel_matches_engine(rules, n_steps):
                             interpret=True)
     out = np.asarray(out)
 
-    ref, ref_deltas, ref_done = _replica(actions, decks, n_steps, cfg)
+    ref, ref_deltas, ref_done, ref_bust = _replica(actions, decks,
+                                                    n_steps, cfg)
 
     def col(name, i=0):
         return np.asarray(unpack_field(out, cfg, name, i))
@@ -197,6 +208,24 @@ def test_kernel_matches_engine(rules, n_steps):
         eq(col("contrib", k), ref.bets.contrib[:, k], f"contrib[{k}]")
     for k in range(P):
         eq(col("delta_sum", k), ref_deltas[:, k], f"delta_sum[{k}]")
+    if rules == "tournament":
+        for k in range(P):
+            eq(col("bust_at", k), ref_bust[:, k], f"bust_at[{k}]")
+        # placements: valid permutations; on frozen tables the winner
+        # (place 1) is the unique seat holding every chip
+        from montecarlo_tpu.ops.pallas_engine import tournament_results
+
+        places, frozen = tournament_results(out, cfg)
+        assert np.all(np.sort(places, axis=1) == np.arange(1, P + 1))
+        if frozen.any():
+            winners = places[frozen] == 1
+            stacks_seat = np.stack([col("stacks", k) for k in range(P)],
+                                   axis=1)
+            button = col("button")
+            idxs = (np.arange(P)[None, :] - button[:, None]) % P
+            seat_stacks = np.take_along_axis(stacks_seat, idxs, axis=1)
+            assert np.all(seat_stacks[frozen][winners]
+                          == P * cfg.starting_stack)
     # at least some hands completed at the longer horizons
     if n_steps >= 24:
         assert col("hand_ct").sum() > 0
@@ -232,7 +261,7 @@ def test_kernel_features_match_models():
                         axis=0).reshape(20, -1)  # [20, T]
 
     # model-side features on the trajectory-equal XLA states
-    ref, _, _ = _replica(actions, decks, n_steps, cfg)
+    ref, _, _, _ = _replica(actions, decks, n_steps, cfg)
     feats_m = jax.vmap(state_features)(ref)  # [T, 20]
 
     live = np.asarray(exists).reshape(-1)
@@ -240,3 +269,79 @@ def test_kernel_features_match_models():
     want = np.asarray(feats_m)[live]
     assert np.allclose(got, want, atol=1e-5), (
         np.abs(got - want).max(axis=0))
+
+
+def test_kernel_heads_up():
+    """P-genericity: the kernel's seat/layer unrolls are parameterized on
+    num_seats — pin heads-up (P=2) trajectory equality too (the reference
+    BASELINE config 1 shape)."""
+    from montecarlo_tpu.ops import pallas_engine as pe
+
+    P2 = 2
+    n_cards = 2 * P2 + 5
+    cfg = TableConfig(num_seats=P2, max_layers=6, max_pot_layers=24,
+                      rules="reference", bets_impl="levels")
+    rng = np.random.default_rng(17)
+    n_steps, hmax = 32, 14
+    u = rng.random((n_steps, T))
+    actions = np.where(u < 0.20, -1,
+                       np.where(u < 0.92, 0,
+                                rng.integers(1, 21, (n_steps, T)))
+                       ).astype(np.int32)
+    cards = np.argsort(rng.random((T, hmax, 52)),
+                       axis=-1)[..., :n_cards].astype(np.int32)
+
+    packed = pe.pack_state(cfg, cards[:, 0])
+    act_in = jnp.asarray(actions.reshape(n_steps, *pe.TILE)[None])
+    cards_in = jnp.asarray(
+        cards.transpose(1, 2, 0).reshape(hmax, n_cards, *pe.TILE)[None])
+    out = np.asarray(run_perpetual_det(
+        packed, act_in, cards_in, P2, n_steps,
+        cfg.small_blind, cfg.big_blind, interpret=True))
+
+    # XLA replica with injected streams (hole/burn offsets for P=2)
+    base = 2 * P2
+    pos = list(range(base)) + [base + 1, base + 2, base + 3, base + 5,
+                               base + 7]
+    decks = np.zeros((T, hmax, 52), np.int64)
+    decks[..., pos] = cards
+    unused_pos = [p for p in range(52) if p not in pos]
+    for t in range(T):
+        for h in range(hmax):
+            decks[t, h, unused_pos] = np.setdiff1d(np.arange(52),
+                                                   cards[t, h])
+
+    def one(table_actions, table_decks):
+        st = init_state(jax.random.key(0), cfg)
+        st = redeal(st, table_decks[0])
+
+        def body(carry, a):
+            st, done_ct = carry
+            prev = st.hand_idx
+            nxt = step_table(st, clamp_action(st, a), rules=cfg.rules)
+            done_ct = done_ct + (nxt.hand_idx != prev)
+            redealt = redeal(nxt, table_decks[jnp.minimum(nxt.hand_idx,
+                                                          hmax - 1)])
+            nxt = _select_tree(nxt.hand_idx != prev, redealt, nxt)
+            return (nxt, done_ct), None
+
+        (st, done_ct), _ = jax.lax.scan(
+            body, (st, jnp.zeros((), jnp.int32)), jnp.asarray(table_actions))
+        return st, done_ct
+
+    ref, ref_done = jax.vmap(one, in_axes=(1, 0))(
+        jnp.asarray(actions), jnp.asarray(decks.astype(np.int32)))
+
+    clean = np.asarray(unpack_field(out, cfg, "overflow")) == 0
+    assert clean.mean() > 0.95
+
+    def eq(a, b, what):
+        assert np.array_equal(np.asarray(a)[clean],
+                              np.asarray(b)[clean]), what
+
+    eq(unpack_field(out, cfg, "hand_ct"), ref_done, "hand counts")
+    eq(unpack_field(out, cfg, "stage"), ref.stage, "stage")
+    for k in range(P2):
+        eq(unpack_field(out, cfg, "stacks", k), ref.stacks[:, k],
+           f"stacks[{k}]")
+    assert np.asarray(unpack_field(out, cfg, "hand_ct")).sum() > 0

@@ -14,23 +14,34 @@ levels, [4, L, 8, 128] per-street pot slots), so the whole step traces to
 a few hundred ops (a python-list unrolling of the same logic measured 60+s
 of XLA compile for the settlement block alone).
 
-Semantics: the REFERENCE rules of ``engine/step.py`` (``board.clj:31-97``,
-``gameplay.clj:94-150``) on the levels street form (``engine/street.py``):
+Semantics: all three rule sets of ``engine/step.py`` on the levels street
+form (``engine/street.py``), selected statically:
 
-- action encoding negative/0/positive (``action.clj:12-29``), player-side
-  raise clamp (``player.clj:24-32``);
-- levels street state (boundaries, per-layer n, per-seat contrib) with the
-  n-inflation quirk, merge == orphan-boundary deletion;
-- exact-equality all-ins leave ``:players`` (excluded from showdown,
-  ``board.clj:53-60``), integer pot splits with vanished remainders
-  (``gameplay.clj:112``), button rotation by one (``:136-137``),
-  perpetual redeal (``:149-150``).
+- ``reference`` — bit-exact ``board.clj:31-97`` + ``gameplay.clj:94-150``:
+  integer action encoding and raise clamp, the n-inflation quirk,
+  exact-equality all-ins leaving ``:players``, integer pot splits with
+  vanished remainders, button rotation by one, perpetual redeal;
+- ``standard`` — real poker accounting: stack-capped payments, a
+  showdown-live all-in mask, original-contributor payouts with
+  odd-chips-to-first (chips conserve exactly), capped blinds, all-in
+  board runouts (up to 4 chained street transitions per step);
+- ``tournament`` — standard accounting plus true elimination: rotation by
+  the distance to the next alive position, blinds skip busted seats, and
+  a table with one chip-holder freezes by emptying its play order (the
+  no-head guard then no-ops it forever).
 
-Pots are four per-street slots of L layers ((amt, member bitmask, n) —
-``orig`` is not needed under reference payout rules). Street flushes write
-the slot of the finished street; settlement scans all 4*L rows. Reference
-payouts are per-layer independent, so the slot layout pays identically to
+Pots are four per-street slots of L layers ((amt, seat-set bitmask) plus
+the reference ``n`` counter where those rules need it). Street flushes
+write the slot of the finished street; settlement scans all 4*L rows.
+Payouts are per-layer independent, so the slot layout pays identically to
 the reference's appended pot list.
+
+Beyond the random-policy perpetual form, the kernel hosts: per-position
+and per-seat settled-delta meters, tournament bust records + placements
+(``tournament_results``), and seat-pinned policy-NET evaluation
+(``selfplay_net_eval_kernel``: the 20 decision features built on block
+arrays bit-exact to ``models/features.py``, dense layers as direct
+[out, in] x [in, 8, 128] MXU contractions, Gumbel-argmax sampling).
 
 Two modes:
 

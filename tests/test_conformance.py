@@ -152,3 +152,43 @@ def test_multi_hand_trajectory(n_seats, seed):
         pre[0] += 5
         pre[1] += 10
         assert pre.tolist() == oracle_stacks, f"hand {hand} rotation"
+
+
+@pytest.mark.parametrize("n_seats,seed", [(2, 20), (3, 21), (6, 22),
+                                          (6, 23), (9, 24)])
+def test_random_game_trajectory_levels(n_seats, seed):
+    """The levels street form (TableConfig(bets_impl="levels")) against the
+    oracle DIRECTLY — per-step snapshot equality of the materialized layer
+    view, independent of the layers-engine equivalence tests."""
+    from montecarlo_tpu.engine.street import bets_as_layers
+
+    rng = random.Random(seed)
+    deck = list(range(52))
+    rng.shuffle(deck)
+
+    cfg = TableConfig(num_seats=n_seats, max_layers=24, max_pot_layers=64,
+                      bets_impl="levels")
+    st = redeal(init_state(jax.random.key(seed), cfg),
+                jnp.array(deck, jnp.int32))
+    g = OracleGame(n=n_seats, small=5, big=10, deck=deck)
+
+    def snap(state):
+        return engine_snapshot(
+            state._replace(bets=bets_as_layers(state.bets, state.folded)))
+
+    assert snap(st) == oracle_snapshot(g)
+    for step in range(300):
+        if g.over:
+            break
+        raw = gen_action(rng, g)
+        a_eng = int(clamp_action(st, jnp.asarray(raw, jnp.int32)))
+        assert a_eng == g.clamp(raw), (step, raw)
+        st = step_action(st, jnp.asarray(a_eng, jnp.int32))
+        g.act(a_eng)
+        assert snap(st) == oracle_snapshot(g), f"step {step}"
+    else:
+        pytest.fail("game did not terminate in 300 actions")
+
+    st = settle_showdown(st)
+    g.settle()
+    assert np.asarray(st.stacks).tolist() == g.stacks

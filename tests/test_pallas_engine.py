@@ -155,13 +155,14 @@ def _bitmask(bools):
             << np.arange(P)[None, :]).sum(axis=1).astype(np.int32)
 
 
-@pytest.mark.parametrize("rules,n_steps", [
-    ("reference", 6), ("reference", 24), ("reference", 48),
-    ("standard", 24), ("standard", 48), ("tournament", 48),
+@pytest.mark.parametrize("rules,n_steps,seed", [
+    ("reference", 6, 11), ("reference", 24, 11), ("reference", 48, 11),
+    ("standard", 24, 11), ("standard", 48, 11), ("tournament", 48, 11),
+    ("reference", 48, 29), ("standard", 48, 29), ("tournament", 48, 29),
 ])
-def test_kernel_matches_engine(rules, n_steps):
+def test_kernel_matches_engine(rules, n_steps, seed):
     cfg = make_cfg(rules)
-    actions, cards = _streams(11)
+    actions, cards = _streams(seed)
     decks = _decks_from_cards(cards)
 
     packed = pack_state(cfg, cards[:, 0])

@@ -207,8 +207,19 @@ def check_engine_kernel() -> int:
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--only", choices=["engine", "equity"], default=None,
+                    help="run one section (full validate can exceed a "
+                         "10-minute window on a cold/degraded tunnel)")
+    args = ap.parse_args()
+
     failures = 0
-    failures += check_engine_kernel()
+    if args.only != "equity":
+        failures += check_engine_kernel()
+    if args.only == "engine":
+        return 1 if failures else 0
 
     # Fused sweep kernel vs known per-hand equities.
     import jax.numpy as jnp

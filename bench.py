@@ -140,7 +140,7 @@ def main():
     try:
         best, w, t, m, backend = _run_pallas(hero, villain, n)
     except Exception as e:  # non-TPU backends lack the Mosaic PRNG
-        print(f"pallas path unavailable ({type(e).__name__}); XLA fallback",
+        print(f"pallas path unavailable ({type(e).__name__}: {e}); XLA fallback",
               file=sys.stderr)
         best, w, t, m, backend = _run_xla(hero, villain, n)
     n = m
@@ -149,7 +149,7 @@ def main():
         hands_per_sec = _run_selfplay_kernel()
         hands_backend = "pallas"
     except Exception as e:  # non-TPU backends lack the Mosaic PRNG
-        print(f"kernel selfplay unavailable ({type(e).__name__}); "
+        print(f"kernel selfplay unavailable ({type(e).__name__}: {e}); "
               f"XLA engine fallback", file=sys.stderr)
         try:
             hands_per_sec = _run_selfplay()

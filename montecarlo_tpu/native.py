@@ -42,6 +42,12 @@ def _load():
     lib.mc_eval7_batch.argtypes = [ctypes.POINTER(ctypes.c_int32),
                                    ctypes.c_int64,
                                    ctypes.POINTER(ctypes.c_uint32)]
+    lib.mc_eval7_cmp.restype = ctypes.c_uint32
+    lib.mc_eval7_cmp.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+    lib.mc_eval7_cmp_batch.restype = None
+    lib.mc_eval7_cmp_batch.argtypes = [ctypes.POINTER(ctypes.c_int32),
+                                       ctypes.c_int64,
+                                       ctypes.POINTER(ctypes.c_uint32)]
     lib.mc_table_new.restype = ctypes.c_void_p
     lib.mc_table_new.argtypes = [ctypes.c_int32, ctypes.c_int32,
                                  ctypes.c_int32,
@@ -88,6 +94,18 @@ def eval7_batch(cards) -> np.ndarray:
     assert a.ndim == 2 and a.shape[1] == 7
     out = np.empty((a.shape[0],), dtype=np.uint32)
     lib.mc_eval7_batch(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), a.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out
+
+
+def eval7_cmp_batch(cards) -> np.ndarray:
+    """Comparison-only keys (C++ twin of ``eval_masks_cmp_impl``)."""
+    lib = _load()
+    a = _i32(cards)
+    assert a.ndim == 2 and a.shape[1] == 7
+    out = np.empty((a.shape[0],), dtype=np.uint32)
+    lib.mc_eval7_cmp_batch(
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), a.shape[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return out

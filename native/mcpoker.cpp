@@ -126,6 +126,69 @@ uint32_t eval_cards(const int32_t *cards, int k) {
   return eval_masks(m[0], m[1], m[2], m[3]);
 }
 
+// Comparison-only key: C++ twin of ops/evaluator.py eval_masks_cmp_impl
+// (the key used inside the Pallas equity/engine kernels). Bit-exact vs the
+// JAX implementation (pinned in tests/test_native.py); its order
+// isomorphism with the packed reference key is certified exhaustively over
+// all C(52,7) hands by native/certify_evaluator.cpp.
+inline uint32_t keep_top(uint32_t mask, int n, int max_clears) {
+  for (int i = 0; i < max_clears; ++i)
+    if (__builtin_popcount(mask) > n) mask &= mask - 1;
+  return mask;
+}
+
+uint32_t eval_masks_cmp(uint32_t m0, uint32_t m1, uint32_t m2, uint32_t m3) {
+  uint32_t present = m0 | m1 | m2 | m3;
+  uint32_t c2p = (m0 & m1) | (m0 & m2) | (m0 & m3) | (m1 & m2) | (m1 & m3) |
+                 (m2 & m3);
+  uint32_t c3p = (m0 & m1 & m2) | (m0 & m1 & m3) | (m0 & m2 & m3) |
+                 (m1 & m2 & m3);
+  uint32_t c4 = m0 & m1 & m2 & m3;
+  uint32_t trips = c3p & ~c4;
+  uint32_t pairs = c2p & ~c3p;
+
+  auto run5_top = [](uint32_t s) {
+    uint32_t r = s & (s >> 1) & (s >> 2) & (s >> 3) & (s >> 4);
+    return r ? msb(r) + 4 : -1;
+  };
+  int straight_top = run5_top(present);
+  uint32_t fmask = 0;
+  for (uint32_t m : {m0, m1, m2, m3})
+    if (__builtin_popcount(m) >= 5) fmask = m;
+  int sf_top = run5_top(fmask);
+
+  int q = std::max(msb(c4), 0);
+  int qk = std::max(msb(present & ~(1u << q)), 0);
+  int t_fh = std::max(msb(trips), 0);
+  int p_fh = std::max(msb((trips | pairs) & ~(1u << t_fh)), 0);
+  uint32_t trips_kick = keep_top(present & ~(1u << t_fh), 2, 2);
+  uint32_t top2_pairs = keep_top(pairs, 2, 1);
+  int tp_kick = std::max(msb(present & ~top2_pairs), 0);
+  int p1 = std::max(msb(pairs), 0);
+  uint32_t pair_kick = keep_top(present & ~(1u << p1), 3, 2);
+
+  if (sf_top >= 0) return (8u << 19) | uint32_t(sf_top);
+  if (c4) return (7u << 19) | (uint32_t(q) << 4) | uint32_t(qk);
+  if (trips && (pairs || __builtin_popcount(trips) >= 2))
+    return (6u << 19) | (uint32_t(t_fh) << 4) | uint32_t(p_fh);
+  if (fmask) return (5u << 19) | keep_top(fmask, 5, 2);
+  if (straight_top >= 0) return (4u << 19) | uint32_t(straight_top);
+  if (trips) return (3u << 19) | (uint32_t(t_fh) << 15) | trips_kick;
+  if (__builtin_popcount(pairs) >= 2)
+    return (2u << 19) | (top2_pairs << 4) | uint32_t(tp_kick);
+  if (pairs) return (1u << 19) | (uint32_t(p1) << 15) | pair_kick;
+  return keep_top(present, 5, 2);
+}
+
+uint32_t eval_cards_cmp(const int32_t *cards, int k) {
+  uint32_t m[4] = {0, 0, 0, 0};
+  for (int i = 0; i < k; ++i) {
+    int c = cards[i];
+    m[c / 13] |= 1u << (2 + c % 13);
+  }
+  return eval_masks_cmp(m[0], m[1], m[2], m[3]);
+}
+
 // ---------------------------------------------------------------------------
 // Bet layers (player sets as seat bitmasks).
 // ---------------------------------------------------------------------------
@@ -322,6 +385,12 @@ uint32_t mc_eval5(const int32_t *cards) { return eval_cards(cards, 5); }
 
 void mc_eval7_batch(const int32_t *cards, int64_t n, uint32_t *out) {
   for (int64_t i = 0; i < n; ++i) out[i] = eval_cards(cards + 7 * i, 7);
+}
+
+uint32_t mc_eval7_cmp(const int32_t *cards) { return eval_cards_cmp(cards, 7); }
+
+void mc_eval7_cmp_batch(const int32_t *cards, int64_t n, uint32_t *out) {
+  for (int64_t i = 0; i < n; ++i) out[i] = eval_cards_cmp(cards + 7 * i, 7);
 }
 
 Table *mc_table_new(int32_t n, int32_t small, int32_t big,

@@ -106,9 +106,10 @@ def v_settle(st):
     hole_masks = pe._suit_masks([st["hole0"], st["hole1"]])
     values = eval_masks_cmp_impl(*[b[None] | h for b, h
                                    in zip(board_masks, hole_masks)])
-    pots_amt = st["pot_amt"].reshape(4, pe.L, *pe.TILE)
-    pots_mem = st["pot_mem"].reshape(4, pe.L, *pe.TILE)
-    pots_n = st["pot_n"].reshape(4, pe.L, *pe.TILE)
+    n_lvl = pe._L_for(cfg.rules)
+    pots_amt = st["pot_amt"].reshape(4, n_lvl, *pe.TILE)
+    pots_mem = st["pot_set"].reshape(4, n_lvl, *pe.TILE)
+    pots_n = st["pot_n"].reshape(4, n_lvl, *pe.TILE)
     in_hand_b = pe._mask_bits(st["in_hand"], P) != 0
     elig = ((jnp.right_shift(pots_mem[:, :, None],
                              pe._iota(P)[None, None]) & 1) != 0) \

@@ -197,7 +197,8 @@ def check_engine_kernel() -> int:
     mesh = make_mesh()
     _, hands_m = sharded_selfplay_kernel(mesh, 7, cfg,
                                          blocks_per_device=8, n_steps=256)
-    sph_m = mesh.devices.size * 8 * 1024 * 256 / max(hands_m, 1)
+    sph_m = (mesh.devices.size * 8 * pe.TABLES_PER_BLOCK * 256
+             / max(hands_m, 1))
     ok = abs(sph_m - sph_x) / sph_x < 0.05
     failures += 0 if ok else 1
     print(f"mesh+engine kernel: {hands_m} hands over "

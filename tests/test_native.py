@@ -94,3 +94,36 @@ def test_native_vs_jnp_evaluator_1M_hands():
     got_native = native.eval7_batch(hands)
     got_jnp = np.asarray(eval7_from_cards(jnp.asarray(hands)))
     np.testing.assert_array_equal(got_native, got_jnp)
+
+
+def test_native_cmp_key_bit_exact_vs_jax():
+    """The C++ cmp key (mc_eval7_cmp) must equal eval_masks_cmp_impl
+    bit-for-bit: native/certify_evaluator.cpp proves the cmp<->packed order
+    isomorphism exhaustively over all C(52,7) hands USING the C++ twin, so
+    this bit-exactness is the link that extends that proof to the JAX key
+    the Pallas kernels compare with."""
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.ops.evaluator import (
+        eval_masks_cmp, suit_masks_from_cards,
+    )
+
+    rng = np.random.default_rng(7)
+    hands = np.argsort(rng.random((200_000, 52)), axis=1)[:, :7].astype(
+        np.int32)
+    # Structured coverage: quads/boats/flushes/straights on stacked ranks
+    # (rank r lives at ids r, r+13, r+26, r+39).
+    structured = []
+    for r in range(0, 9):
+        structured.append([r, r + 13, r + 26, r + 39,
+                           r + 1, r + 14, r + 2])            # quads + pair
+        structured.append([r, r + 1, r + 2, r + 3,
+                           r + 4, r + 18, r + 31])           # straight flush
+        structured.append([r, r + 13, r + 1, r + 14,
+                           r + 2, r + 15, r + 29])           # three pairs
+    hands = np.concatenate([hands, np.asarray(structured, np.int32)])
+    got_native = native.eval7_cmp_batch(hands)
+    got_jax = np.asarray(
+        eval_masks_cmp(*suit_masks_from_cards(jnp.asarray(hands)))
+    ).astype(np.uint32)
+    np.testing.assert_array_equal(got_native, got_jax)

@@ -307,3 +307,51 @@ def sharded_selfplay_kernel(
 
     final, hands = run(jnp.asarray([seed], I32), state0)
     return final, int(hands)
+
+
+def sharded_selfplay_kernel_det(
+    mesh: Mesh,
+    cfg: TableConfig,
+    state,
+    actions,
+    cards,
+    n_steps: int,
+    interpret: bool = False,
+):
+    """Deterministic-mode engine kernel composed with the mesh: table
+    blocks, injected action streams, and per-hand deal stashes all shard
+    over the tables axis; the completed-hand counter psum-reduces over it.
+
+    Unlike ``sharded_selfplay_kernel`` this needs no hardware PRNG, so
+    with ``interpret=True`` it executes on the 8-device virtual CPU mesh —
+    the multi-device coverage of the kernel deployment shape
+    (dryrun_multichip item 6, tests/test_parallel.py). Runs eagerly (an
+    eager shard_map dispatches the interpreter per-op; jitting the inlined
+    interpreter program is minutes of XLA:CPU compile).
+
+    Returns (final packed state [n_blocks, F, 8, 128], total hands)."""
+    from montecarlo_tpu.ops.pallas_engine import (
+        _field_layout,
+        run_perpetual_det,
+    )
+
+    layout, _ = _field_layout(cfg.num_seats, cfg.rules)
+    hand_ct_row = layout["hand_ct"][0]
+
+    def shard_fn(state, actions, cards):
+        out = run_perpetual_det(state, actions, cards, cfg.num_seats,
+                                n_steps, cfg.small_blind, cfg.big_blind,
+                                rules=cfg.rules, interpret=interpret)
+        hands = jnp.sum(out[:, hand_ct_row])
+        return out, jax.lax.psum(hands, AXIS)
+
+    shard = NamedSharding(mesh, P(AXIS))
+    state = jax.device_put(jnp.asarray(state, I32), shard)
+    actions = jax.device_put(jnp.asarray(actions, I32), shard)
+    cards = jax.device_put(jnp.asarray(cards, I32), shard)
+    out, hands = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P()),
+        check_vma=False)(state, actions, cards)
+    return out, int(hands)

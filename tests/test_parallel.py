@@ -135,3 +135,62 @@ def test_sharded_tournaments():
     assert done.mean() > 0.9
     places = tournament_placements(busted, stacks)
     assert places.shape == (128, 2)
+
+
+def test_sharded_engine_kernel_det_matches_xla_per_device():
+    """Multi-device coverage of the whole-step engine kernel: shard_map the
+    DETERMINISTIC kernel (interpret mode - no PRNG needed) over the
+    8-device CPU mesh with per-device injected streams, and assert each
+    device's trajectory equals the XLA engine driven by that device's
+    stream (VERDICT r2 item 3: the v4-8 kernel deployment shape was
+    previously untested beyond one device)."""
+    from montecarlo_tpu.ops.pallas_engine import TILE, pack_state, unpack_field
+    from montecarlo_tpu.parallel.mesh import sharded_selfplay_kernel_det
+    from tests.test_pallas_engine import (
+        CFG, HMAX, N_CARDS, P as SEATS, _bitmask, _decks_from_cards,
+        _replica, _streams,
+    )
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n_steps = 12
+
+    blocks, all_actions, all_decks = [], [], []
+    act_in, cards_in = [], []
+    for d in range(n_dev):
+        actions, cards = _streams(1000 + d)
+        blocks.append(pack_state(CFG, cards[:, 0]))
+        all_actions.append(actions)
+        all_decks.append(_decks_from_cards(cards))
+        act_in.append(actions[:n_steps].reshape(n_steps, *TILE))
+        cards_in.append(
+            cards.transpose(1, 2, 0).reshape(HMAX, N_CARDS, *TILE))
+
+    state = jnp.concatenate(blocks, axis=0)
+    out, total_hands = sharded_selfplay_kernel_det(
+        mesh, CFG, state, np.stack(act_in), np.stack(cards_in), n_steps,
+        interpret=True)
+    out = np.asarray(out)
+    assert total_hands > 0
+
+    for d in range(n_dev):
+        ref, _, ref_done, _ = _replica(all_actions[d], all_decks[d],
+                                       n_steps, CFG)
+        dev = out[d:d + 1]
+
+        def col(name, i=0):
+            return np.asarray(unpack_field(dev, CFG, name, i))
+
+        clean = col("overflow") == 0
+        assert clean.mean() > 0.9
+
+        def eq(a, b, what):
+            assert np.array_equal(a[clean], np.asarray(b)[clean]), (d, what)
+
+        eq(col("hand_ct"), ref_done, "hand counts")
+        eq(col("stage"), ref.stage, "stage")
+        eq(col("cursor"), ref.cursor, "cursor")
+        eq(col("in_hand"), _bitmask(ref.in_hand), "in_hand")
+        stacks = np.stack([col("stacks", i) for i in range(SEATS)], axis=-1)
+        eq(stacks, np.asarray(ref.stacks).reshape(-1, SEATS).reshape(
+            stacks.shape), "stacks")

@@ -99,7 +99,33 @@ def _run_selfplay_kernel(n_tables=1 << 20, n_steps=512):
 
     once(0)  # warmup/compile
     best, hands = min(once(i + 1) for i in range(3))
-    return hands / best
+    return {
+        "betting_hands_per_sec": hands / best,
+        "betting_rules": cfg.rules,
+        "betting_tables": n_tables,
+        "betting_steps_per_hand": n_tables * n_steps / hands,
+        "betting_ns_per_table_step": best / (n_tables * n_steps) * 1e9,
+    }
+
+
+def _run_sweep169(n_per_hand=10_000_000):
+    """BASELINE config 5: 169 canonical hands x 1e7 vs-random rollouts,
+    one fused kernel launch — reports the warm wall-clock."""
+    from montecarlo_tpu.models.pushfold import canonical_hands
+    from montecarlo_tpu.ops.pallas_equity import equity_sweep_pallas
+
+    heroes = jnp.array([list(cards) for _, cards in canonical_hands()],
+                       jnp.int32)
+
+    def once(seed):
+        t0 = time.perf_counter()
+        eq, n = equity_sweep_pallas(seed, heroes, n_per_hand)
+        _ = float(eq[0])  # host round-trip = tunnel sync
+        return time.perf_counter() - t0, n
+
+    once(5)  # warmup/compile
+    best, n = min(once(5 + i) for i in range(2))
+    return {"sweep169_seconds_warm": best, "sweep169_rollouts": 169 * n}
 
 
 def _run_selfplay(n_tables=1 << 20, n_steps=128):
@@ -146,18 +172,25 @@ def main():
     n = m
 
     try:
-        hands_per_sec = _run_selfplay_kernel()
-        hands_backend = "pallas"
+        betting = _run_selfplay_kernel()
+        betting["betting_backend"] = "pallas"
     except Exception as e:  # non-TPU backends lack the Mosaic PRNG
         print(f"kernel selfplay unavailable ({type(e).__name__}: {e}); "
               f"XLA engine fallback", file=sys.stderr)
         try:
-            hands_per_sec = _run_selfplay()
-            hands_backend = "xla"
+            betting = {"betting_hands_per_sec": _run_selfplay(),
+                       "betting_backend": "xla", "betting_rules": "reference"}
         except Exception as e2:
             print(f"selfplay bench failed ({type(e2).__name__}: {e2})",
                   file=sys.stderr)
-            hands_per_sec, hands_backend = None, None
+            betting = {"betting_hands_per_sec": None, "betting_backend": None}
+
+    try:
+        sweep = _run_sweep169()
+    except Exception as e:  # non-TPU: the fused sweep kernel needs Mosaic
+        print(f"sweep169 unavailable ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        sweep = {}
 
     rate = n / best
     print(json.dumps({
@@ -167,14 +200,15 @@ def main():
         "seconds": best,
         "equity_AKs_vs_QQ": (int(w) + 0.5 * int(t)) / n,
     }), file=sys.stderr)
-    print(json.dumps({
+    out = {
         "metric": "equity_rollouts_per_sec",
         "value": rate,
         "unit": "rollouts/s",
         "vs_baseline": rate / NORTH_STAR,
-        "betting_hands_per_sec": hands_per_sec,
-        "betting_backend": hands_backend,
-    }))
+    }
+    out.update(betting)
+    out.update(sweep)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -76,6 +76,13 @@ TILE = tuple(int(x) for x in
              os.environ.get("MC_ENGINE_TILE", "8,128").split(","))
 TABLES_PER_BLOCK = TILE[0] * TILE[1]
 
+# Engine steps per fori_loop iteration (PRNG mode). The loop carry (~140
+# VMEM rows) costs ~4 ns/table-step at the iteration boundary (PERF.md
+# round-2 ablation: a carry-only body costs 4.0-4.5 of the full 6.6-7.0);
+# unrolling amortizes that boundary over several engine steps. Draw order
+# is unchanged, so trajectories are bit-identical for any unroll.
+UNROLL = int(os.environ.get("MC_ENGINE_UNROLL", "1"))
+
 # Street layer capacity. Reference rules: L=6 covered 51.7M audited random
 # 6-max hands with zero overflows (PERF.md) — levels come only from blinds
 # (2) and policy-bounded raises (2/street). Standard rules additionally
@@ -619,20 +626,24 @@ def _make_kernel(P, n_steps, layout, F, mode, sb, bb, hmax=0,
     n_cards = 2 * P + 5
 
     if mode == "prng":
+        unroll = UNROLL if n_steps % UNROLL == 0 else 1
+
         def kernel(seed_ref, state_ref, out_ref):
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
             st = _unpack(state_ref[0], layout)
 
             def body(_, st):
-                raw = _policy_prng(st, P)
-                cards = _sample_cards(TILE, n_cards)
-                return _engine_step(st, raw, cards, P, sb, bb, rules)
+                for _k in range(unroll):
+                    raw = _policy_prng(st, P)
+                    cards = _sample_cards(TILE, n_cards)
+                    st = _engine_step(st, raw, cards, P, sb, bb, rules)
+                return st
 
             # STATIC trip count: a runtime bound (read from SMEM) was
             # measured 5x slower (34.7 vs 7.0 ns/table-step) — the dynamic
             # while-loop defeats Mosaic's loop optimization. One compile
             # per distinct launch length is the better trade.
-            st = jax.lax.fori_loop(0, n_steps, body, st)
+            st = jax.lax.fori_loop(0, n_steps // unroll, body, st)
             out_ref[0] = _pack(st, layout, F)
         return kernel
 

@@ -76,12 +76,12 @@ TILE = tuple(int(x) for x in
              os.environ.get("MC_ENGINE_TILE", "8,128").split(","))
 TABLES_PER_BLOCK = TILE[0] * TILE[1]
 
-# Engine steps per fori_loop iteration (PRNG mode). The loop carry (~140
-# VMEM rows) costs ~4 ns/table-step at the iteration boundary (PERF.md
-# round-2 ablation: a carry-only body costs 4.0-4.5 of the full 6.6-7.0);
-# unrolling amortizes that boundary over several engine steps. Draw order
-# is unchanged, so trajectories are bit-identical for any unroll.
-UNROLL = int(os.environ.get("MC_ENGINE_UNROLL", "1"))
+# Engine steps per fori_loop iteration (PRNG mode). Unrolling amortizes
+# the loop-iteration boundary; measured +4.6% at 2 and flat at 4 (PERF.md
+# round-3 table), so 2 is the default. Draw order is unchanged, so
+# trajectories are bit-identical for any unroll (verified: identical hand
+# counts at 2^20 tables x 512 steps for 1/2/4).
+UNROLL = int(os.environ.get("MC_ENGINE_UNROLL", "2"))
 
 # Street layer capacity. Reference rules: L=6 covered 51.7M audited random
 # 6-max hands with zero overflows (PERF.md) — levels come only from blinds
@@ -1105,6 +1105,47 @@ def selfplay_net_eval_kernel(seed: int, cfg, params, net_seats: int,
         per_table = d / np.maximum(hands_t, 1) / bb
         errs.append(per_table.std(ddof=1) / np.sqrt(len(per_table)))
     return np.array(means), np.array(errs), int(hands)
+
+
+def tournaments_to_completion(seed: int, cfg, n_tables: int,
+                              steps_per_launch: int = 512,
+                              max_steps: int = 1 << 17):
+    """Run tournament-rules tables until EVERY table freezes (one player
+    holds all chips), relaunching the kernel as long as live tables
+    remain — total placements, no silent 2-4% unfinished tail.
+
+    Frozen tables are idempotent no-ops inside the kernel (empty play
+    order), so relaunching costs only the shrinking set of live tables'
+    progress; the host checks the frozen count between launches (one int
+    per table). Returns ``(state, steps_used)``; raises if ``max_steps``
+    is hit with live tables (random 6-max tournaments at 5/10 blinds
+    finish in ~2-4k steps; the default bound is ~30x that).
+    """
+    import numpy as np
+
+    assert cfg.rules == "tournament"
+    P = cfg.num_seats
+    assert n_tables % TABLES_PER_BLOCK == 0
+
+    keys = jax.random.split(jax.random.key(seed), n_tables)
+    decks = jax.vmap(lambda k: jax.random.permutation(k, 52))(keys)
+    base = 2 * P
+    pos = list(range(base)) + [base + 1, base + 2, base + 3, base + 5,
+                               base + 7]
+    state = pack_state(cfg, np.asarray(decks)[:, pos])
+
+    done = 0
+    while done < max_steps:
+        state = run_perpetual_prng(seed + done * 7919, state, P,
+                                   steps_per_launch, cfg.small_blind,
+                                   cfg.big_blind, rules=cfg.rules)
+        done += steps_per_launch
+        frozen = int(jnp.sum((unpack_field(state, cfg, "order") == 0)
+                             .astype(I32)))
+        if frozen == n_tables:
+            return state, done
+    raise RuntimeError(
+        f"{n_tables - frozen} tournaments still live after {done} steps")
 
 
 def tournament_results(state, cfg):

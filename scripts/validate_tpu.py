@@ -84,6 +84,36 @@ def check_engine_kernel() -> int:
     print(f"engine kernel det-mode (Mosaic) vs XLA engine: "
           f"{int(clean.sum())}/{clean.size} exact [{'ok' if ok else 'FAIL'}]")
 
+    # (a2) FULL-block exactness: a production-raise-density stream (3%,
+    # CPU-verified zero overflow for this seed) must match the XLA engine
+    # on every one of the 1024 tables — no capacity-latch exclusions.
+    from tests.test_pallas_engine import _streams_capacity_safe
+
+    actions, cards = _streams_capacity_safe(41)
+    decks = _decks_from_cards(cards)
+    packed = pe.pack_state(CFG, cards[:, 0])
+    act_in = jnp.asarray(actions[:24].reshape(24, *pe.TILE)[None])
+    cards_in = jnp.asarray(
+        cards.transpose(1, 2, 0).reshape(HMAX, N_CARDS, *pe.TILE)[None])
+    out = np.asarray(pe.run_perpetual_det(
+        packed, act_in, cards_in, P, 24, CFG.small_blind, CFG.big_blind,
+        jit=True))
+    ref, _, ref_done, _ = _replica(actions, decks, 24)
+    n_ovf = int(np.sum(np.asarray(
+        pe.unpack_field(jnp.asarray(out), CFG, "overflow")) != 0))
+
+    def col2(name, i=0):
+        return np.asarray(pe.unpack_field(jnp.asarray(out), CFG, name, i))
+
+    ok = n_ovf == 0
+    ok &= np.array_equal(col2("hand_ct"), np.asarray(ref_done))
+    ok &= np.array_equal(col2("folded"), _bitmask(ref.folded))
+    for k in range(P):
+        ok &= np.array_equal(col2("stacks", k), np.asarray(ref.stacks[:, k]))
+    failures += 0 if ok else 1
+    print(f"engine kernel det-mode full-block: 1024/1024 exact, "
+          f"overflow={n_ovf} [{'ok' if ok else 'FAIL'}]")
+
     # (b) PRNG mode statistics vs the XLA perpetual engine
     from montecarlo_tpu.rollout.selfplay import play_hands_perpetual
 
@@ -146,28 +176,32 @@ def check_engine_kernel() -> int:
           f"{total_chips}+{in_play} vs {expected} exact-conserved, "
           f"overflow={ovf2} [{'ok' if ok else 'FAIL'}]")
 
-    # (c2) tournament rules: tables must terminate (freeze) with the
-    # winner holding every chip — true elimination at kernel speed.
+    # (c2) tournament rules run TO COMPLETION: every table must freeze
+    # with the winner holding every chip — total placements, no
+    # unfinished tail (the relaunch wrapper keeps going until 100%).
     cfg_t = TableConfig(num_seats=6, rules="tournament")
     n_t3 = 1 << 13
-    state3, hands3, ovf3 = pe.selfplay_perpetual_kernel(
-        13, cfg_t, n_t3, 2048, steps_per_launch=512)
+    state3, steps3 = pe.tournaments_to_completion(13, cfg_t, n_t3,
+                                                  steps_per_launch=1024)
+    ovf3 = int(jnp.sum(pe.unpack_field(state3, cfg_t, "overflow")))
     stacks3 = np.stack([np.asarray(pe.unpack_field(state3, cfg_t,
                                                    "stacks", k))
                         for k in range(6)])
-    order3 = np.asarray(pe.unpack_field(state3, cfg_t, "order"))
-    frozen = order3 == 0
+    frozen = np.asarray(pe.unpack_field(state3, cfg_t, "order")) == 0
     winner_all = stacks3.max(axis=0) == 6 * cfg_t.starting_stack
-    # conservation over frozen tables only — unfrozen ones hold chips in
-    # the live street/pots
-    ok = (ovf3 == 0 and frozen.mean() > 0.95
-          and bool(np.all(winner_all[frozen]))
-          and bool(np.all(stacks3.sum(axis=0)[frozen]
-                          == 6 * cfg_t.starting_stack)))
+    places, frozen_r = pe.tournament_results(state3, cfg_t)
+    ok = (ovf3 == 0 and bool(frozen.all()) and bool(winner_all.all())
+          and bool(np.all(stacks3.sum(axis=0)
+                          == 6 * cfg_t.starting_stack))
+          and bool(frozen_r.all())
+          and places.shape == (n_t3, 6)
+          and bool(np.all(np.sort(places, axis=1)
+                          == np.arange(1, 7)[None])))
     failures += 0 if ok else 1
-    print(f"engine kernel tournament: {frozen.mean():.1%} tables frozen "
-          f"after 2048 steps, winner-takes-all on every frozen table, "
-          f"chips exact, overflow={ovf3} [{'ok' if ok else 'FAIL'}]")
+    print(f"engine kernel tournament: {n_t3}/{n_t3} complete in {steps3} "
+          f"steps, winner-takes-all + exact conservation + total "
+          f"placements on every table, overflow={ovf3} "
+          f"[{'ok' if ok else 'FAIL'}]")
 
     # (d) in-kernel policy net: the trained artifact must beat the
     # untrained net at its pinned seat with separated confidence intervals

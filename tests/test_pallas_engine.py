@@ -56,6 +56,23 @@ def _streams(seed):
     return actions, cards.astype(np.int32)
 
 
+def _streams_capacity_safe(seed):
+    """Injected stream with production-like raise density (3%, vs the
+    adversarial 8% of ``_streams``): the real policy bounds raises to
+    2/street, so L=6 street levels always suffice; this stream keeps the
+    raise rate low enough that a full 1024-table block stays within
+    capacity (seed chosen by exhaustive CPU interpret check — det mode is
+    bit-exact between interpret and Mosaic, so hardware validation can
+    then assert 1024/1024 tables exact with zero overflow latches)."""
+    rng = np.random.default_rng(seed)
+    u = rng.random((48, T))
+    actions = np.where(u < 0.20, -1,
+                       np.where(u < 0.97, 0,
+                                rng.integers(1, 21, (48, T)))).astype(np.int32)
+    cards = np.argsort(rng.random((T, HMAX, 52)), axis=-1)[..., :N_CARDS]
+    return actions, cards.astype(np.int32)
+
+
 def _decks_from_cards(cards):
     """[T, H, 17] dealt cards -> [T, H, 52] full decks whose consumption
     order (state.py:begin_hand: holes round-robin, burn offsets) yields

@@ -83,6 +83,16 @@ TABLES_PER_BLOCK = TILE[0] * TILE[1]
 # counts at 2^20 tables x 512 steps for 1/2/4).
 UNROLL = int(os.environ.get("MC_ENGINE_UNROLL", "2"))
 
+# Deferred settlement (PRNG mode): run DEFER betting steps per settle
+# pass. Tables whose hand ends wait (no-op, ~DEFER/2 idle slots) until
+# the next pass settles, rotates, and redeals them. The settle tensors
+# are 74% of the fused step (PERF.md round-3 ablation), so tracing them
+# once per DEFER slots is the engine's biggest lever. DEFER=1 restores
+# the fused per-step form. Per-table hand SEQUENCES are identical either
+# way (same rules, different idle timing); validated statistically on
+# hardware (scripts/validate_tpu.py).
+DEFER = int(os.environ.get("MC_ENGINE_DEFER", "1"))
+
 # Street layer capacity. Reference rules: L=6 covered 51.7M audited random
 # 6-max hands with zero overflows (PERF.md) — levels come only from blinds
 # (2) and policy-bounded raises (2/street). Standard rules additionally
@@ -114,6 +124,7 @@ def _field_layout(P: int, rules: str = "reference"):
     fields = [
         ("stage", 1), ("cursor", 1), ("street_raises", 1),
         ("folded", 1), ("in_hand", 1), ("to_act", 1), ("order", 1),
+        ("wait", 1),  # hand ended, settle pass pending (deferred settle)
         ("hand_ct", 1), ("overflow", 1), ("button", 1),
         ("stacks", P), ("contrib", P), ("hole0", P), ("hole1", P),
         ("hand_start", P), ("delta_sum", P), ("seat_delta", P),
@@ -273,19 +284,58 @@ def _sample_cards(shape, k):
     return jnp.stack(cards, axis=0)
 
 
-def _engine_step(st, raw_action, new_cards, P, sb, bb,
-                 rules="reference", ss=100, reset_stacks=False):
-    """One ``step_table`` on a block dict (tables = trailing (8, 128)).
-
-    ``raw_action``: [8,128] pre-clamp policy action. ``new_cards``:
-    [2P+5, 8, 128] next hand's deal. Mirrors engine/step.py:step_table
-    under reference or standard rules (see TableConfig.rules); every jnp
-    op is Mosaic-lowerable.
-    """
+def _settle_payout(st, pots_amt, pots_set, pots_n, in_hand, P, reference):
+    """Showdown evaluation + per-layer payout (step.py:settle_showdown):
+    rank every seat's 7 cards with the cmp key, then pay each of the 4*L
+    pot layers to its best eligible seat(s). Module-level so ablation
+    scripts can stub it (scripts/exp_step_split.py)."""
     from montecarlo_tpu.ops.evaluator import eval_masks_cmp_impl
 
+    board_masks = _suit_masks([st["board"][i] for i in range(5)])
+    hole_masks = _suit_masks([st["hole0"], st["hole1"]])  # [P, 8, 128] x4
+    values = eval_masks_cmp_impl(*[b[None] | h for b, h
+                                   in zip(board_masks, hole_masks)])
+    in_hand_b = _mask_bits(in_hand, P) != 0  # [P, 8, 128]
+    set_bits = (jnp.right_shift(pots_set[:, :, None], _iota(P)[None, None])
+                & 1)  # [4, L, P, 8, 128]
+    elig = (set_bits != 0) & in_hand_b[None, None]
+    vmax = jnp.max(jnp.where(elig, values[None, None], 0), axis=2)
+    winners = elig & (values[None, None] == vmax[:, :, None])
+    cnt = jnp.sum(winners.astype(I32), axis=2)  # [4, L, 8, 128]
+    if reference:
+        # amt * inflated n, integer split, remainders vanish
+        total_pot = pots_amt * pots_n
+    else:
+        # exactly the chips contributed: amt * |contributors|
+        total_pot = pots_amt * jnp.sum(set_bits, axis=2)
+    share = jnp.where(cnt > 0, total_pot // jnp.maximum(cnt, 1), 0)
+    pay_rows = jnp.where(winners, share[:, :, None], 0)
+    if not reference:
+        # odd chips to the first-position winner of each layer
+        rem = jnp.where(cnt > 0, total_pot % jnp.maximum(cnt, 1), 0)
+        first = jnp.min(jnp.where(winners, _iota(P)[None, None], P), axis=2)
+        pay_rows = pay_rows + jnp.where(
+            _iota(P)[None, None] == first[:, :, None], rem[:, :, None], 0)
+    return jnp.sum(pay_rows, axis=(0, 1))  # [P, 8, 128]
+
+
+def _step_nosettle(st, raw_action, P, sb, bb, rules="reference"):
+    """The betting half of ``step_table``: clamp, payment, levels algebra,
+    membership updates, street flush + transitions, and hand-end
+    DETECTION. A table whose hand ends here does not settle — it latches
+    ``wait=1`` and empties its play order (so subsequent calls no-op via
+    the no-head guard) until ``_settle_pass`` processes it. The per-step
+    composition ``_settle_pass(_step_nosettle(st))`` is bit-identical to
+    the round-2 fused step (pinned by the det-mode trajectory tests); the
+    PRNG production kernel instead runs U betting steps per settle pass,
+    removing the settle tensors — 74% of the fused step's time
+    (PERF.md round-3 ablation) — from U-1 of every U steps.
+
+    ``raw_action``: [8,128] pre-clamp policy action. Mirrors
+    engine/step.py:apply_action + _advance_streets under the configured
+    rules; every jnp op is Mosaic-lowerable.
+    """
     reference = rules == "reference"
-    tournament = rules == "tournament"
     n_lvl = st["lvl"].shape[0]
     zero = jnp.zeros_like(st["stage"])
     head, cursor_after, exists = _head_info(st, P)
@@ -339,7 +389,6 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
         # exact-equality all-ins leave :players entirely (board.clj:53-89)
         in_hand = st["in_hand"] & ~jnp.where(is_fold | went_all_in,
                                              head_bit, 0)
-        all_in = zero
         to_act = jnp.where(is_raise, in_hand & ~head_bit,
                            st["to_act"] & ~head_bit)
         order = st["order"] & ~jnp.where(is_fold, head_bit, 0)
@@ -401,34 +450,70 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
         cursor = jnp.where(trans, zero, cursor)
     ended = (n_in <= 1) | ((to_act == 0) & (stage == 3))
 
-    # --- settlement (step.py:settle_showdown) ---
-    board_masks = _suit_masks([st["board"][i] for i in range(5)])
-    hole_masks = _suit_masks([st["hole0"], st["hole1"]])  # [P, 8, 128] x4
-    values = eval_masks_cmp_impl(*[b[None] | h for b, h
-                                   in zip(board_masks, hole_masks)])
-    in_hand_b = _mask_bits(in_hand, P) != 0  # [P, 8, 128]
-    set_bits = (jnp.right_shift(pots_set[:, :, None], _iota(P)[None, None])
-                & 1)  # [4, L, P, 8, 128]
-    elig = (set_bits != 0) & in_hand_b[None, None]
-    vmax = jnp.max(jnp.where(elig, values[None, None], 0), axis=2)
-    winners = elig & (values[None, None] == vmax[:, :, None])
-    cnt = jnp.sum(winners.astype(I32), axis=2)  # [4, L, 8, 128]
+    # --- hand-end latch: empty the play order (no-head no-op until the
+    # settle pass) and raise the wait flag ---
+    to_act = jnp.where(ended, zero, to_act)
+    order = jnp.where(ended, zero, order)
+    wait = st["wait"] | ended.astype(I32)
+
+    # street_raises: reset on street or hand change (selfplay.py:140-147).
+    applied = (action > 0) & exists
+    transition_any = stage != st["stage"]
+    street_raises = jnp.where(transition_any | ended, zero,
+                              st["street_raises"] + applied.astype(I32))
+
+    out = {
+        "stage": stage, "cursor": cursor, "street_raises": street_raises,
+        "folded": folded, "in_hand": in_hand, "to_act": to_act,
+        "order": order, "wait": wait,
+        "overflow": st["overflow"] | ovf.astype(I32),
+        "stacks": stacks, "contrib": contrib,
+        "lvl": lvl, "ln": ln,
+        "pot_amt": pots_amt.reshape(4 * n_lvl, *TILE),
+        "pot_set": pots_set.reshape(4 * n_lvl, *TILE),
+    }
     if reference:
-        # amt * inflated n, integer split, remainders vanish
-        total_pot = pots_amt * pots_n
+        out["pot_n"] = pots_n.reshape(4 * n_lvl, *TILE)
     else:
-        # exactly the chips contributed: amt * |contributors|
-        total_pot = pots_amt * jnp.sum(set_bits, axis=2)
-    share = jnp.where(cnt > 0, total_pot // jnp.maximum(cnt, 1), 0)
-    pay_rows = jnp.where(winners, share[:, :, None], 0)
+        out["all_in"] = all_in
+    # No-head guard (step.py:step_table): full no-op when the play order is
+    # empty — covers waiting tables between settle passes and frozen
+    # tournament tables (and mirrors the XLA engine exactly).
+    guarded = {
+        name: jnp.where(exists[None] if out[name].ndim == 3 else exists,
+                        out[name], st[name])
+        for name in out
+    }
+    return {**st, **guarded}
+
+
+def _settle_pass(st, new_cards, P, sb, bb, rules="reference", ss=100,
+                 reset_stacks=False):
+    """Settlement + next hand for every table whose ``wait`` flag is up:
+    showdown payout (step.py:settle_showdown), delta meters, players-list
+    rotation (gameplay.clj:136-137), blinds, and the injected/PRNG deal
+    (``new_cards``: [2P+5, 8, 128]). Clears ``wait``; all other tables
+    pass through untouched (tournament-frozen tables have wait == 0)."""
+    reference = rules == "reference"
+    tournament = rules == "tournament"
+    n_lvl = st["lvl"].shape[0]
+    zero = jnp.zeros_like(st["stage"])
+    ended = st["wait"] != 0
+    lvl, ln, contrib = st["lvl"], st["ln"], st["contrib"]
+    in_hand, to_act, order = st["in_hand"], st["to_act"], st["order"]
+    folded, cursor, stage = st["folded"], st["cursor"], st["stage"]
     if not reference:
-        # odd chips to the first-position winner of each layer
-        rem = jnp.where(cnt > 0, total_pot % jnp.maximum(cnt, 1), 0)
-        first = jnp.min(jnp.where(winners, _iota(P)[None, None], P), axis=2)
-        pay_rows = pay_rows + jnp.where(
-            _iota(P)[None, None] == first[:, :, None], rem[:, :, None], 0)
-    payout = jnp.sum(pay_rows, axis=(0, 1))  # [P, 8, 128]
-    stacks = jnp.where(ended[None], stacks + payout, stacks)
+        all_in = st["all_in"]
+    pots_amt = st["pot_amt"].reshape(4, n_lvl, *TILE)
+    pots_set = st["pot_set"].reshape(4, n_lvl, *TILE)
+    if reference:
+        pots_n = st["pot_n"].reshape(4, n_lvl, *TILE)
+
+    # --- settlement (step.py:settle_showdown) ---
+    payout = _settle_payout(st, pots_amt, pots_set,
+                            pots_n if reference else None, in_hand, P,
+                            reference)
+    stacks = jnp.where(ended[None], st["stacks"] + payout, st["stacks"])
     hand_ct = st["hand_ct"] + ended.astype(I32)
     # Per-position settled chip delta for the finished hand (position 0 =
     # that hand's small blind; blinds paid are included — same accounting
@@ -512,7 +597,6 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
         to_act_new = order_new = full + zero
         in_hand_new = full + zero
         cursor0 = 2 % P + zero
-        all_in_next = all_in
     else:
         if tournament:
             # Dead seats leave the deal; the big blind goes to the first
@@ -550,7 +634,7 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
         dead_bm = jnp.sum(jnp.where(new_stacks <= 0, _seat_bits(P), 0),
                           axis=0)
         allin_bm = dead_bm & in_hand_new
-        all_in_next = jnp.where(redeal, allin_bm, all_in)
+        all_in = jnp.where(redeal, allin_bm, all_in)
         to_act_new = order_new = in_hand_new & ~allin_bm
     in_hand = jnp.where(redeal, in_hand_new, in_hand)
     to_act = jnp.where(redeal, to_act_new, to_act)
@@ -569,18 +653,13 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
     order = jnp.where(freeze, zero, order)
     button = jnp.where(redeal, (st["button"] + button_shift) % P,
                        st["button"])
-
-    # street_raises: reset on street or hand change (selfplay.py:140-147).
-    applied = (action > 0) & exists
-    transition_any = stage != st["stage"]
-    street_raises = jnp.where(transition_any | ended, zero,
-                              st["street_raises"] + applied.astype(I32))
+    wait = jnp.where(ended, zero, st["wait"])
 
     out = {
-        "stage": stage, "cursor": cursor, "street_raises": street_raises,
+        "stage": stage, "cursor": cursor,
         "folded": folded, "in_hand": in_hand, "to_act": to_act,
-        "order": order, "hand_ct": hand_ct,
-        "overflow": st["overflow"] | ovf.astype(I32), "button": button,
+        "order": order, "wait": wait, "hand_ct": hand_ct,
+        "button": button,
         "stacks": stacks, "contrib": contrib,
         "hole0": hole0, "hole1": hole1, "board": board,
         "hand_start": hand_start, "delta_sum": delta_sum,
@@ -593,16 +672,20 @@ def _engine_step(st, raw_action, new_cards, P, sb, bb,
         pots_n = jnp.where(ended[None, None], 0, pots_n)
         out["pot_n"] = pots_n.reshape(4 * n_lvl, *TILE)
     else:
-        out["all_in"] = all_in_next
+        out["all_in"] = all_in
     if tournament:
         out["bust_at"] = bust_at
-    # No-head guard (step.py:step_table): full no-op when the play order is
-    # empty — mirrors the XLA engine exactly (unreachable in practice).
-    return {
-        name: jnp.where(exists[None] if out[name].ndim == 3 else exists,
-                        out[name], st[name])
-        for name in out
-    }
+    return {**st, **out}
+
+
+def _engine_step(st, raw_action, new_cards, P, sb, bb,
+                 rules="reference", ss=100, reset_stacks=False):
+    """One fused ``step_table``: the betting step composed with an
+    immediate settle pass — bit-identical to the round-2 monolithic step
+    (the det-mode kernel and the net-eval kernel run this form; the PRNG
+    production kernel defers the settle pass, see ``_make_kernel``)."""
+    st = _step_nosettle(st, raw_action, P, sb, bb, rules)
+    return _settle_pass(st, new_cards, P, sb, bb, rules, ss, reset_stacks)
 
 
 def _policy_prng(st, P):
@@ -626,7 +709,9 @@ def _make_kernel(P, n_steps, layout, F, mode, sb, bb, hmax=0,
     n_cards = 2 * P + 5
 
     if mode == "prng":
-        unroll = UNROLL if n_steps % UNROLL == 0 else 1
+        defer = DEFER if (DEFER > 1 and n_steps % DEFER == 0) else 1
+        unroll = defer if defer > 1 else (
+            UNROLL if n_steps % UNROLL == 0 else 1)
 
         def kernel(seed_ref, state_ref, out_ref):
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -635,8 +720,17 @@ def _make_kernel(P, n_steps, layout, F, mode, sb, bb, hmax=0,
             def body(_, st):
                 for _k in range(unroll):
                     raw = _policy_prng(st, P)
+                    if defer > 1:
+                        st = _step_nosettle(st, raw, P, sb, bb, rules)
+                    else:
+                        cards = _sample_cards(TILE, n_cards)
+                        st = _engine_step(st, raw, cards, P, sb, bb, rules)
+                if defer > 1:
+                    # One settle pass per iteration: every table that
+                    # ended a hand in the last `defer` slots settles,
+                    # rotates, and redeals here.
                     cards = _sample_cards(TILE, n_cards)
-                    st = _engine_step(st, raw, cards, P, sb, bb, rules)
+                    st = _settle_pass(st, cards, P, sb, bb, rules)
                 return st
 
             # STATIC trip count: a runtime bound (read from SMEM) was

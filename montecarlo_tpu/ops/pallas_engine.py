@@ -90,8 +90,11 @@ UNROLL = int(os.environ.get("MC_ENGINE_UNROLL", "2"))
 # once per DEFER slots is the engine's biggest lever. DEFER=1 restores
 # the fused per-step form. Per-table hand SEQUENCES are identical either
 # way (same rules, different idle timing); validated statistically on
-# hardware (scripts/validate_tpu.py).
-DEFER = int(os.environ.get("MC_ENGINE_DEFER", "1"))
+# hardware (scripts/validate_tpu.py). Measured sweep (2^20 tables x 512
+# slots, v5e): 1 -> 12.65M hands/s, 4 -> 34.1M, 8 -> 47.4M, 16 -> 54.9M
+# (0.55 ns/slot; idle cost (U-1)/2 extra slots/hand matches theory);
+# the slot-cost model slot = 0.37 + 2.83/U puts the optimum at ~16-20.
+DEFER = int(os.environ.get("MC_ENGINE_DEFER", "16"))
 
 # Street layer capacity. Reference rules: L=6 covered 51.7M audited random
 # 6-max hands with zero overflows (PERF.md) — levels come only from blinds
@@ -1051,6 +1054,23 @@ def _features(st, head, P, bb):
     ]
 
 
+def _gumbel_pick(logits):
+    """Categorical sample over the leading axis via Gumbel argmax
+    (module-level so ablation scripts can stub it).
+
+    >>8 keeps 24 bits: fits int32, whose f32 cast Mosaic supports
+    (uint32 -> f32 does not lower)."""
+    F32 = jnp.float32
+    n = logits.shape[0]
+    u = jnp.right_shift(pltpu.prng_random_bits((n,) + TILE)
+                        .astype(jnp.uint32), 8).astype(I32).astype(F32) \
+        * (2.0 ** -24)
+    g = -jnp.log(-jnp.log(jnp.maximum(u, 1e-12)))
+    z = logits + g
+    m = jnp.max(z, axis=0)
+    return jnp.min(jnp.where(z == m[None], _iota(n), n), axis=0)
+
+
 def _net_action(st, head, P, sb, bb, w_refs):
     """models/policy_net.py:net_policy on block arrays: MLP logits via
     MXU matmuls (tables flattened to the matmul minor dim), categorical
@@ -1079,15 +1099,7 @@ def _net_action(st, head, P, sb, bb, w_refs):
     # folding with nothing owed is masked (policy_net.py:80-81)
     logits = jnp.where(_iota(4) == 0,
                        logits + jnp.where(free, -1e9, 0.0)[None], logits)
-    # >>8 keeps 24 bits: fits int32, whose f32 cast Mosaic supports
-    # (uint32 -> f32 does not lower).
-    u = jnp.right_shift(pltpu.prng_random_bits((4,) + TILE)
-                        .astype(jnp.uint32), 8).astype(I32).astype(F32) \
-        * (2.0 ** -24)
-    g = -jnp.log(-jnp.log(jnp.maximum(u, 1e-12)))
-    z = logits + g
-    m = jnp.max(z, axis=0)
-    idx = jnp.min(jnp.where(z == m[None], _iota(4), 4), axis=0)
+    idx = _gumbel_pick(logits)
 
     pot = total + jnp.sum(st["pot_amt"], axis=0)
     small = 2 * bb

@@ -131,12 +131,33 @@ def check_engine_kernel() -> int:
     sph_x = n_tables * n_steps / max(int(hands_x), 1)
     stacks_x = float(jnp.mean(final.stacks.astype(jnp.float32)))
 
-    ok = (ovf == 0 and abs(sph_k - sph_x) / sph_x < 0.03
-          and abs(stacks_k - stacks_x) < 2.0)
+    # Deferred settlement idles a finished table ~ (DEFER-1)/2 slots per
+    # hand before its settle pass, so the kernel's slots/hand carries that
+    # known offset over the XLA engine's steps/hand. Raw mean stacks are
+    # confounded by the end-of-window hand phase (a deferred run leaves
+    # more tables at fresh-hand blinds), so the settlement-accounting
+    # check is the in-kernel per-position settled-delta meters against
+    # the committed 167.5M-hand artifact (data/position_winrates.json):
+    # per-settled-hand quantities, no phase bias.
+    defer = pe.DEFER if (pe.DEFER > 1 and n_steps % pe.DEFER == 0) else 1
+    sph_expect = sph_x + (defer - 1) / 2
+    ok = ovf == 0 and abs(sph_k - sph_expect) / sph_expect < 0.03
+
+    import json as _json
+    with open("data/position_winrates.json") as f:
+        art = _json.load(f)["reference_rules"]["positions"]
+    sums, hands_m2 = pe.position_deltas(state, cfg)
+    pos_bb = sums / max(hands_m2, 1) / cfg.big_blind
+    worst = 0.0
+    for k in range(6):
+        worst = max(worst, abs(pos_bb[k] - art[str(k)]["bb_per_hand"]))
+    ok &= worst < 0.1  # ~3 sigma at this run's ~126k settled hands
     failures += 0 if ok else 1
-    print(f"engine kernel prng vs XLA: steps/hand {sph_k:.2f} vs {sph_x:.2f},"
-          f" mean stack {stacks_k:.2f} vs {stacks_x:.2f}, overflow={ovf} "
-          f"[{'ok' if ok else 'FAIL'}]")
+    print(f"engine kernel prng vs XLA: slots/hand {sph_k:.2f} vs expected "
+          f"{sph_expect:.2f} (XLA {sph_x:.2f} + idle); position deltas vs "
+          f"167.5M-hand artifact, worst |diff| {worst:.3f} bb/hand; "
+          f"mean stack {stacks_k:.1f} (XLA {stacks_x:.1f}, phase-biased); "
+          f"overflow={ovf} [{'ok' if ok else 'FAIL'}]")
 
     # (c) standard-rules PRNG mode: chips conserve EXACTLY (the standard
     # accounting pays out every contributed chip; busted seats sit out).
@@ -233,7 +254,9 @@ def check_engine_kernel() -> int:
                                          blocks_per_device=8, n_steps=256)
     sph_m = (mesh.devices.size * 8 * pe.TABLES_PER_BLOCK * 256
              / max(hands_m, 1))
-    ok = abs(sph_m - sph_x) / sph_x < 0.05
+    # both runs use the deferred kernel: compare slots/hand to the
+    # single-device kernel number (same idle accounting)
+    ok = abs(sph_m - sph_k) / sph_k < 0.05
     failures += 0 if ok else 1
     print(f"mesh+engine kernel: {hands_m} hands over "
           f"{mesh.devices.size} device(s), steps/hand {sph_m:.2f} "

@@ -1,0 +1,145 @@
+"""Evolution-strategies training at engine-kernel speed.
+
+REINFORCE (models/train.py) needs per-action log-prob gradients, so its
+rollouts run through the XLA pipeline (~10k hands/s/update at training
+shapes). The whole-step Pallas kernel meters per-seat settled deltas
+on-chip at millions of hands/s but is not differentiable — the natural
+way to consume that experience for training is evolution strategies
+(Salimans et al. 2017, "Evolution Strategies as a Scalable Alternative
+to RL"; public method): sample antithetic Gaussian perturbations of the
+policy weights, measure each candidate's bb/hand at its pinned seat with
+the kernel's meters, and ascend the fitness-weighted perturbation mean
+
+    g = (1 / (pop * sigma)) * sum_i f_std(theta + sigma*eps_i) * eps_i.
+
+Variance control: antithetic pairs (+eps, -eps) and common random
+numbers — every candidate in a generation is evaluated on the SAME seed
+(same deals), so pair differences cancel card luck. Fitnesses are
+standardized per generation.
+
+The evaluator is injectable (tests drive a quadratic toy); the default
+is ``selfplay_net_eval_kernel`` — the kernel evaluation stack whose
+feature/logit path is pinned bit-exact against models/features.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_tpu.models.policy_net import MLPParams
+
+
+def _flatten(params: MLPParams):
+    leaves, treedef = jax.tree.flatten(params)
+    shapes = [leaf.shape for leaf in leaves]
+    sizes = [int(np.prod(s)) for s in shapes]
+    vec = jnp.concatenate([jnp.ravel(leaf) for leaf in leaves])
+    return vec, (treedef, shapes, sizes)
+
+
+def _unflatten(vec, spec) -> MLPParams:
+    treedef, shapes, sizes = spec
+    leaves, off = [], 0
+    for shape, size in zip(shapes, sizes):
+        leaves.append(jnp.reshape(vec[off:off + size], shape))
+        off += size
+    return jax.tree.unflatten(treedef, leaves)
+
+
+class ESResult(NamedTuple):
+    params: MLPParams
+    fitness_history: np.ndarray   # [generations] mean fitness
+    best_fitness: float
+    hands_total: int
+
+
+def train_es(
+    seed: int,
+    params0: MLPParams,
+    eval_fn: Callable,            # (params, eval_seed:int) -> (fitness, hands)
+    generations: int = 40,
+    pop: int = 8,                 # antithetic pairs per generation
+    sigma: float = 0.05,
+    lr: float = 0.03,
+    momentum: float = 0.9,
+    mask: Optional[jnp.ndarray] = None,  # 0/1 over the flat vector
+    progress: Optional[Callable] = None,
+) -> ESResult:
+    """Antithetic ES ascent on ``eval_fn``'s fitness.
+
+    ``pop`` counts PAIRS: each generation evaluates ``2*pop`` candidates
+    plus nothing else (the center is never evaluated — the standardized
+    pair differences carry the signal). All candidates in a generation
+    share one eval seed (common random numbers).
+    """
+    vec, spec = _flatten(params0)
+    vel = jnp.zeros_like(vec)
+    key = jax.random.key(seed)
+    hist, hands_total, best = [], 0, -np.inf
+
+    for g in range(generations):
+        key, kp = jax.random.split(key)
+        eps = jax.random.normal(kp, (pop, vec.shape[0]), vec.dtype)
+        if mask is not None:
+            # restrict the search to a parameter subspace (ES progress per
+            # generation scales like pop/dim — masking trades ceiling for
+            # speed on small populations)
+            eps = eps * mask[None]
+        eval_seed = seed * 1_000_003 + g
+        fits = np.zeros((pop, 2))
+        for i in range(pop):
+            for j, sgn in enumerate((1.0, -1.0)):
+                cand = _unflatten(vec + sgn * sigma * eps[i], spec)
+                f, h = eval_fn(cand, eval_seed)
+                fits[i, j] = f
+                hands_total += h
+        mean_fit = float(fits.mean())
+        hist.append(mean_fit)
+        best = max(best, float(fits.max()))
+        # standardized antithetic ascent direction. Fitness is
+        # standardized per generation, so the direction has unit-free
+        # O(1/sqrt(pop)) coordinates; lr directly sets the weight-space
+        # step size (no 1/sigma factor — that rescaling blows up small
+        # populations).
+        diff = (fits[:, 0] - fits[:, 1]) / 2.0       # [pop]
+        std = diff.std() + 1e-8
+        w = jnp.asarray(diff / std, vec.dtype)
+        grad = (w[:, None] * eps).mean(axis=0)
+        vel = momentum * vel + (1.0 - momentum) * grad
+        vec = vec + lr * vel
+        if progress is not None:
+            progress(g, mean_fit, float(fits.max()))
+
+    return ESResult(_unflatten(vec, spec), np.asarray(hist), best,
+                    hands_total)
+
+
+def layer_mask(params: MLPParams, names) -> jnp.ndarray:
+    """0/1 flat-vector mask selecting the given MLPParams field names."""
+    vec_parts = []
+    for field, leaf in zip(params._fields, jax.tree.leaves(params)):
+        val = 1.0 if field in names else 0.0
+        vec_parts.append(jnp.full((int(np.prod(leaf.shape)),), val,
+                                  jnp.float32))
+    return jnp.concatenate(vec_parts)
+
+
+def kernel_eval_fn(cfg, net_seats: int = 1, n_tables: int = 1 << 14,
+                   n_steps: int = 256):
+    """Fitness = mean bb/hand at the lowest pinned net seat, measured by
+    the engine kernel's in-kernel seat-delta meters."""
+    from montecarlo_tpu.ops.pallas_engine import selfplay_net_eval_kernel
+
+    seat = int(np.log2(net_seats & -net_seats))  # lowest set bit
+
+    def eval_fn(params, eval_seed: int):
+        means, _, hands = selfplay_net_eval_kernel(
+            eval_seed, cfg, params, net_seats=net_seats,
+            n_tables=n_tables, n_steps=n_steps)
+        return float(means[seat]), int(hands)
+
+    return eval_fn

@@ -1,0 +1,100 @@
+"""ES fine-tuning of the 6-max policy at engine-kernel speed (real TPU).
+
+    python scripts/train_es_kernel.py [--generations 120] [--pop 8]
+        [--sigma 0.05] [--lr 0.1] [--tables 16384] [--steps 256]
+        [--mask w3,b3] [--save data/policy_6max_es.npz]
+
+Starts from the REINFORCE artifact (data/policy_6max_200.npz), evaluates
+every perturbed candidate with the whole-step kernel's in-kernel seat
+meters (seat 0 vs five randoms, independent full-stack hands), ascends
+the antithetic ES direction, then reports a final high-precision
+evaluation (64k tables) of start vs trained with CI.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+os.makedirs("/root/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from montecarlo_tpu.engine.state import TableConfig  # noqa: E402
+from montecarlo_tpu.models.policy_net import (  # noqa: E402
+    load_params, save_params,
+)
+from montecarlo_tpu.models.train_es import (  # noqa: E402
+    kernel_eval_fn, layer_mask, train_es,
+)
+from montecarlo_tpu.ops.pallas_engine import (  # noqa: E402
+    selfplay_net_eval_kernel,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--generations", type=int, default=120)
+    ap.add_argument("--pop", type=int, default=8)
+    ap.add_argument("--sigma", type=float, default=0.05)
+    ap.add_argument("--lr", type=float, default=0.1)
+    ap.add_argument("--momentum", type=float, default=0.9)
+    ap.add_argument("--tables", type=int, default=1 << 14)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=17)
+    ap.add_argument("--start", default="data/policy_6max_200.npz")
+    ap.add_argument("--mask", default="",
+                    help="comma-separated MLPParams fields to perturb "
+                         "(empty = all)")
+    ap.add_argument("--save", default="data/policy_6max_es.npz")
+    args = ap.parse_args()
+
+    cfg = TableConfig(num_seats=6, rules="standard")
+    params0 = load_params(args.start)
+    eval_fn = kernel_eval_fn(cfg, net_seats=1, n_tables=args.tables,
+                             n_steps=args.steps)
+    mask = None
+    if args.mask:
+        mask = layer_mask(params0, set(args.mask.split(",")))
+
+    t0 = time.perf_counter()
+
+    def progress(g, mean_fit, best_fit):
+        dt = time.perf_counter() - t0
+        print(json.dumps({"gen": g, "mean_bb": round(mean_fit, 4),
+                          "best_bb": round(best_fit, 4),
+                          "elapsed_s": round(dt, 1)}), flush=True)
+
+    out = train_es(args.seed, params0, eval_fn,
+                   generations=args.generations, pop=args.pop,
+                   sigma=args.sigma, lr=args.lr, momentum=args.momentum,
+                   mask=mask, progress=progress)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "training_seconds": round(dt, 1),
+        "training_hands": out.hands_total,
+        "training_hands_per_sec": round(out.hands_total / dt),
+    }), flush=True)
+
+    # High-precision final: start vs trained on a fresh seed.
+    for name, p in (("start", params0), ("es", out.params)):
+        m, e, h = selfplay_net_eval_kernel(991, cfg, p, net_seats=1,
+                                           n_tables=1 << 16, n_steps=256)
+        print(json.dumps({"final_eval": name,
+                          "bb_per_hand_seat0": round(float(m[0]), 4),
+                          "stderr": round(float(e[0]), 4),
+                          "hands": h}), flush=True)
+
+    if args.save:
+        save_params(args.save, out.params)
+        print(f"saved {args.save}")
+
+
+if __name__ == "__main__":
+    main()

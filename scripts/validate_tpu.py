@@ -151,7 +151,12 @@ def check_engine_kernel() -> int:
     worst = 0.0
     for k in range(6):
         worst = max(worst, abs(pos_bb[k] - art[str(k)]["bb_per_hand"]))
-    ok &= worst < 0.1  # ~3 sigma at this run's ~126k settled hands
+    # Tolerance: statistical noise here is ~0.03 bb (126k settled hands),
+    # but the 256-slot window truncates ~13% of hands (7.7 hands/table;
+    # long hands are likelier to be cut), a selection bias worth ~0.15 bb
+    # that the artifact's 160-hand/table window doesn't share. Real
+    # accounting bugs are blind-sized (>=0.5 bb); 0.25 separates the two.
+    ok &= worst < 0.25
     failures += 0 if ok else 1
     print(f"engine kernel prng vs XLA: slots/hand {sph_k:.2f} vs expected "
           f"{sph_expect:.2f} (XLA {sph_x:.2f} + idle); position deltas vs "

@@ -212,3 +212,44 @@ def test_push_fold_cr_artifact_matches_book():
     # monotone: shallower stacks jam and call wider
     fracs = [ranges[s]["jam_fraction"] for s in ("3", "5", "10", "20")]
     assert fracs == sorted(fracs, reverse=True)
+
+
+def test_es_trainer_improves_toy_fitness():
+    """ES machinery sanity on an analytic objective: fitness is a smooth
+    function of the flattened weights with a known optimum direction; the
+    trainer must ascend it. (The kernel evaluator is TPU-only — the
+    hardware run is scripts/train_es_kernel.py / validate_tpu.)"""
+    import numpy as np
+
+    from montecarlo_tpu.models.policy_net import init_params
+    from montecarlo_tpu.models.train_es import _flatten, train_es
+
+    params0 = init_params(jax.random.key(0))
+    vec0, _ = _flatten(params0)
+    target = np.asarray(
+        jax.random.normal(jax.random.key(1), (16,))) * 0.5
+
+    def eval_fn(params, eval_seed):
+        # Fitness depends on a 16-dim slice (ES progress per generation
+        # scales like pop/dim, so a full-width toy would need hundreds of
+        # generations); the remaining coordinates drift harmlessly.
+        from montecarlo_tpu.models.train_es import _flatten as fl
+        v, _ = fl(params)
+        return -float(np.mean((np.asarray(v)[:16] - target) ** 2)), 100
+
+    out = train_es(3, params0, eval_fn, generations=40, pop=8,
+                   sigma=0.05, lr=0.1)
+    assert out.fitness_history[-5:].mean() > out.fitness_history[:5].mean()
+    assert out.hands_total == 40 * 16 * 100
+
+
+def test_es_flatten_roundtrip():
+    from montecarlo_tpu.models.policy_net import init_params
+    from montecarlo_tpu.models.train_es import _flatten, _unflatten
+
+    p = init_params(jax.random.key(2))
+    vec, spec = _flatten(p)
+    q = _unflatten(vec, spec)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(q)):
+        assert a.shape == b.shape
+        assert bool(jnp.all(a == b))

@@ -132,14 +132,23 @@ def kernel_eval_fn(cfg, net_seats: int = 1, n_tables: int = 1 << 14,
                    n_steps: int = 256):
     """Fitness = mean bb/hand at the lowest pinned net seat, measured by
     the engine kernel's in-kernel seat-delta meters."""
-    from montecarlo_tpu.ops.pallas_engine import selfplay_net_eval_kernel
+    from montecarlo_tpu.ops.pallas_engine import (
+        initial_packed_state, selfplay_net_eval_kernel,
+    )
 
     seat = int(np.log2(net_seats & -net_seats))  # lowest set bit
+    cache = {}
 
     def eval_fn(params, eval_seed: int):
+        # All candidates in an ES generation share eval_seed (common
+        # random numbers): build the initial decks once per generation.
+        if eval_seed not in cache:
+            cache.clear()
+            cache[eval_seed] = initial_packed_state(eval_seed, cfg,
+                                                    n_tables)
         means, _, hands = selfplay_net_eval_kernel(
             eval_seed, cfg, params, net_seats=net_seats,
-            n_tables=n_tables, n_steps=n_steps)
+            n_tables=n_tables, n_steps=n_steps, state0=cache[eval_seed])
         return float(means[seat]), int(hands)
 
     return eval_fn

@@ -1112,25 +1112,38 @@ def _net_action(st, head, P, sb, bb, w_refs):
 def _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
                      net_seats: int, reset_stacks: bool):
     n_cards = 2 * P + 5
+    defer = DEFER if (DEFER > 1 and n_steps % DEFER == 0) else 1
 
     def kernel(seed_ref, state_ref, w1t, b1, w2t, b2, w3t, b3, out_ref):
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         st = _unpack(state_ref[0], layout)
         w_refs = (w1t, b1, w2t, b2, w3t, b3)
 
-        def body(_, st):
+        def raw_action(st):
             rand = _policy_prng(st, P)
             head, _, _ = _head_info(st, P)
             head_seat = (st["button"] + head) % P
             use_net = (jnp.right_shift(
                 jnp.full_like(head_seat, net_seats), head_seat) & 1) != 0
             net = _net_action(st, head, P, sb, bb, w_refs)
-            raw = jnp.where(use_net, net, rand)
-            cards = _sample_cards(TILE, n_cards)
-            return _engine_step(st, raw, cards, P, sb, bb, rules, ss,
-                                reset_stacks=reset_stacks)
+            return jnp.where(use_net, net, rand)
 
-        st = jax.lax.fori_loop(0, n_steps, body, st)
+        def body(_, st):
+            for _k in range(defer):
+                raw = raw_action(st)
+                if defer > 1:
+                    st = _step_nosettle(st, raw, P, sb, bb, rules)
+                else:
+                    cards = _sample_cards(TILE, n_cards)
+                    st = _engine_step(st, raw, cards, P, sb, bb, rules,
+                                      ss, reset_stacks=reset_stacks)
+            if defer > 1:
+                cards = _sample_cards(TILE, n_cards)
+                st = _settle_pass(st, cards, P, sb, bb, rules, ss,
+                                  reset_stacks=reset_stacks)
+            return st
+
+        st = jax.lax.fori_loop(0, n_steps // defer, body, st)
         out_ref[0] = _pack(st, layout, F)
     return kernel
 
@@ -1159,9 +1172,24 @@ def run_net_eval(seed, state, weights, P: int, n_steps: int, sb: int,
     )(jnp.asarray(seed, I32).reshape(1), state, *weights)
 
 
+def initial_packed_state(seed: int, cfg, n_tables: int):
+    """First-hand packed state: threefry decks host-side (the per-call
+    cost that dominates short evaluations — cache and reuse it when many
+    evaluations share a seed, e.g. ES common-random-number generations)."""
+    import numpy as np
+
+    P = cfg.num_seats
+    keys = jax.random.split(jax.random.key(seed), n_tables)
+    decks = jax.vmap(lambda k: jax.random.permutation(k, 52))(keys)
+    base = 2 * P
+    pos = list(range(base)) + [base + 1, base + 2, base + 3, base + 5,
+                               base + 7]
+    return jax.device_put(pack_state(cfg, np.asarray(decks)[:, pos]))
+
+
 def selfplay_net_eval_kernel(seed: int, cfg, params, net_seats: int,
                              n_tables: int, n_steps: int,
-                             steps_per_launch: int = 256):
+                             steps_per_launch: int = 256, state0=None):
     """Seat-pinned policy-net evaluation at kernel speed: seats whose bit
     is set in ``net_seats`` play the trained net (models/policy_net.py),
     the rest play ``random_policy``; every hand starts from full stacks
@@ -1177,12 +1205,9 @@ def selfplay_net_eval_kernel(seed: int, cfg, params, net_seats: int,
     assert cfg.rules in ("reference", "standard")
     assert n_tables % TABLES_PER_BLOCK == 0
 
-    keys = jax.random.split(jax.random.key(seed), n_tables)
-    decks = jax.vmap(lambda k: jax.random.permutation(k, 52))(keys)
-    base = 2 * P
-    pos = list(range(base)) + [base + 1, base + 2, base + 3, base + 5,
-                               base + 7]
-    state = pack_state(cfg, np.asarray(decks)[:, pos])
+    if state0 is None:
+        state0 = initial_packed_state(seed, cfg, n_tables)
+    state = state0
 
     weights = (
         jnp.asarray(params.w1.T, jnp.float32),

@@ -60,7 +60,7 @@ class ESResult(NamedTuple):
 def train_es(
     seed: int,
     params0: MLPParams,
-    eval_fn: Callable,            # (params, eval_seed:int) -> (fitness, hands)
+    eval_fn: Optional[Callable] = None,  # (params, seed) -> (fitness, hands)
     generations: int = 40,
     pop: int = 8,                 # antithetic pairs per generation
     sigma: float = 0.05,
@@ -68,14 +68,21 @@ def train_es(
     momentum: float = 0.9,
     mask: Optional[jnp.ndarray] = None,  # 0/1 over the flat vector
     progress: Optional[Callable] = None,
+    eval_pop_fn: Optional[Callable] = None,  # ([params], seed) ->
+                                             # (fits[2*pop], hands[2*pop])
 ) -> ESResult:
     """Antithetic ES ascent on ``eval_fn``'s fitness.
 
     ``pop`` counts PAIRS: each generation evaluates ``2*pop`` candidates
     plus nothing else (the center is never evaluated — the standardized
     pair differences carry the signal). All candidates in a generation
-    share one eval seed (common random numbers).
+    share one eval seed (common random numbers). When ``eval_pop_fn`` is
+    given it receives the whole generation at once, ordered
+    ``[+eps_0, -eps_0, +eps_1, ...]`` — the population-batched kernel
+    path (one launch per generation instead of ``2*pop``).
     """
+    assert (eval_fn is None) != (eval_pop_fn is None), \
+        "exactly one of eval_fn / eval_pop_fn"
     vec, spec = _flatten(params0)
     vel = jnp.zeros_like(vec)
     key = jax.random.key(seed)
@@ -91,12 +98,19 @@ def train_es(
             eps = eps * mask[None]
         eval_seed = seed * 1_000_003 + g
         fits = np.zeros((pop, 2))
-        for i in range(pop):
-            for j, sgn in enumerate((1.0, -1.0)):
-                cand = _unflatten(vec + sgn * sigma * eps[i], spec)
-                f, h = eval_fn(cand, eval_seed)
-                fits[i, j] = f
-                hands_total += h
+        if eval_pop_fn is not None:
+            cands = [_unflatten(vec + sgn * sigma * eps[i], spec)
+                     for i in range(pop) for sgn in (1.0, -1.0)]
+            fs, hs = eval_pop_fn(cands, eval_seed)
+            fits[:] = np.asarray(fs).reshape(pop, 2)
+            hands_total += int(np.sum(hs))
+        else:
+            for i in range(pop):
+                for j, sgn in enumerate((1.0, -1.0)):
+                    cand = _unflatten(vec + sgn * sigma * eps[i], spec)
+                    f, h = eval_fn(cand, eval_seed)
+                    fits[i, j] = f
+                    hands_total += h
         mean_fit = float(fits.mean())
         hist.append(mean_fit)
         best = max(best, float(fits.max()))
@@ -152,3 +166,29 @@ def kernel_eval_fn(cfg, net_seats: int = 1, n_tables: int = 1 << 14,
         return float(means[seat]), int(hands)
 
     return eval_fn
+
+
+def kernel_eval_pop_fn(cfg, net_seats: int = 1, n_tables: int = 1 << 14,
+                       n_steps: int = 256):
+    """Population form of ``kernel_eval_fn``: the whole ES generation in
+    one kernel launch (candidate axis = grid dimension; the shared-seed
+    common-random-numbers property holds by construction — the in-kernel
+    PRNG stream depends only on the block index)."""
+    from montecarlo_tpu.ops.pallas_engine import (
+        initial_packed_state, selfplay_net_eval_pop,
+    )
+
+    seat = int(np.log2(net_seats & -net_seats))  # lowest set bit
+    cache = {}
+
+    def eval_pop(params_list, eval_seed: int):
+        if eval_seed not in cache:
+            cache.clear()
+            cache[eval_seed] = initial_packed_state(eval_seed, cfg,
+                                                    n_tables)
+        means, _, hands = selfplay_net_eval_pop(
+            eval_seed, cfg, params_list, net_seats=net_seats,
+            n_tables=n_tables, n_steps=n_steps, state0=cache[eval_seed])
+        return means[:, seat], hands
+
+    return eval_pop

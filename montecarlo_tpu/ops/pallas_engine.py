@@ -1110,14 +1110,24 @@ def _net_action(st, head, P, sb, bb, w_refs):
 
 
 def _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
-                     net_seats: int, reset_stacks: bool):
+                     net_seats: int, reset_stacks: bool,
+                     pop: bool = False):
     n_cards = 2 * P + 5
     defer = DEFER if (DEFER > 1 and n_steps % DEFER == 0) else 1
 
     def kernel(seed_ref, state_ref, w1t, b1, w2t, b2, w3t, b3, out_ref):
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        st = _unpack(state_ref[0], layout)
-        w_refs = (w1t, b1, w2t, b2, w3t, b3)
+        if pop:
+            # grid (candidates, blocks): the PRNG stream depends ONLY on
+            # the block index, so every candidate sees identical deals and
+            # identical random-seat draws — common random numbers across
+            # the whole ES generation in one launch.
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(1))
+            st = _unpack(state_ref[0, 0], layout)
+            w_refs = tuple(w[0] for w in (w1t, b1, w2t, b2, w3t, b3))
+        else:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            st = _unpack(state_ref[0], layout)
+            w_refs = (w1t, b1, w2t, b2, w3t, b3)
 
         def raw_action(st):
             rand = _policy_prng(st, P)
@@ -1144,7 +1154,10 @@ def _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
             return st
 
         st = jax.lax.fori_loop(0, n_steps // defer, body, st)
-        out_ref[0] = _pack(st, layout, F)
+        if pop:
+            out_ref[0, 0] = _pack(st, layout, F)
+        else:
+            out_ref[0] = _pack(st, layout, F)
     return kernel
 
 
@@ -1168,6 +1181,44 @@ def run_net_eval(seed, state, weights, P: int, n_steps: int, sb: int,
         out_shape=jax.ShapeDtypeStruct(state.shape, I32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(jnp.asarray(seed, I32).reshape(1), state, *weights)
+
+
+@partial(jax.jit, static_argnames=("P", "n_steps", "sb", "bb", "ss",
+                                   "rules", "net_seats", "reset_stacks",
+                                   "interpret"))
+def run_net_eval_pop(seed, state, weights, P: int, n_steps: int, sb: int,
+                     bb: int, ss: int, rules: str, net_seats: int,
+                     reset_stacks: bool = True, interpret: bool = False):
+    """Population-batched net evaluation: one launch runs C candidates.
+
+    ``state``: [C, n_blocks, F, 8, 128]; each ``weights`` leaf carries a
+    leading candidate axis [C, ...]. The grid is (C, n_blocks) and the
+    PRNG stream is a function of the BLOCK index only, so all candidates
+    play the same deals/random-seat draws (common random numbers) — the
+    single-launch form of the ES generation that previously took 2*pop
+    separate launches (each ~95% launch overhead, PERF.md)."""
+    layout, F = _field_layout(P, rules)
+    C, n_blocks = state.shape[0], state.shape[1]
+    state_spec = pl.BlockSpec((1, 1, F) + TILE,
+                              lambda c, i: (c, i, 0, 0, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def wspec(leaf):
+        zeros = (0,) * (leaf.ndim - 1)
+        return pl.BlockSpec((1,) + leaf.shape[1:],
+                            lambda c, i, _z=zeros: (c,) + _z)
+
+    return pl.pallas_call(
+        _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
+                         net_seats, reset_stacks, pop=True),
+        grid=(C, n_blocks),
+        in_specs=[smem, state_spec] + [wspec(w) for w in weights],
+        out_specs=state_spec,
+        out_shape=jax.ShapeDtypeStruct(state.shape, I32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(jnp.asarray(seed, I32).reshape(1), state, *weights)
 
@@ -1236,6 +1287,71 @@ def selfplay_net_eval_kernel(seed: int, cfg, params, net_seats: int,
         per_table = d / np.maximum(hands_t, 1) / bb
         errs.append(per_table.std(ddof=1) / np.sqrt(len(per_table)))
     return np.array(means), np.array(errs), int(hands)
+
+
+def _stack_weights(params_list):
+    """[MLPParams] -> kernel weight leaves, each with a leading C axis."""
+    def lead(get):
+        return jnp.stack([get(p) for p in params_list])
+    return (
+        lead(lambda p: jnp.asarray(p.w1.T, jnp.float32)),
+        lead(lambda p: jnp.asarray(p.b1, jnp.float32).reshape(-1, 1)),
+        lead(lambda p: jnp.asarray(p.w2.T, jnp.float32)),
+        lead(lambda p: jnp.asarray(p.b2, jnp.float32).reshape(-1, 1)),
+        lead(lambda p: jnp.asarray(p.w3.T, jnp.float32)),
+        lead(lambda p: jnp.asarray(p.b3, jnp.float32).reshape(-1, 1)),
+    )
+
+
+def selfplay_net_eval_pop(seed: int, cfg, params_list, net_seats: int,
+                          n_tables: int, n_steps: int,
+                          steps_per_launch: int = 256, state0=None):
+    """Evaluate a POPULATION of policies in one kernel launch per chunk.
+
+    Same semantics as ``selfplay_net_eval_kernel`` run once per candidate
+    with a shared seed (common random numbers), but the candidate axis is
+    a grid dimension, so the per-launch overhead (~0.7 s at ES shapes,
+    PERF.md) is paid once per generation instead of once per candidate.
+
+    Returns ``(bb_per_hand[C, P], stderr[C, P], hands[C])``.
+    """
+    import numpy as np
+
+    P = cfg.num_seats
+    C = len(params_list)
+    assert cfg.rules in ("reference", "standard")
+    assert n_tables % TABLES_PER_BLOCK == 0
+
+    if state0 is None:
+        state0 = initial_packed_state(seed, cfg, n_tables)
+    state = jnp.broadcast_to(state0[None], (C,) + state0.shape)
+    weights = _stack_weights(params_list)
+
+    done = 0
+    while done < n_steps:
+        chunk = min(steps_per_launch, n_steps - done)
+        state = run_net_eval_pop(seed + done * 7919, state, weights, P,
+                                 chunk, cfg.small_blind, cfg.big_blind,
+                                 cfg.starting_stack, cfg.rules, net_seats)
+        done += chunk
+
+    bb = cfg.big_blind
+    means = np.zeros((C, P))
+    errs = np.zeros((C, P))
+    hands = np.zeros(C, np.int64)
+    host = np.asarray(state)
+    for c in range(C):
+        hands_t = np.asarray(
+            unpack_field(host[c], cfg, "hand_ct"), np.float64)
+        h = hands_t.sum()
+        hands[c] = int(h)
+        for k in range(P):
+            d = np.asarray(unpack_field(host[c], cfg, "seat_delta", k),
+                           np.float64)
+            means[c, k] = d.sum() / max(h, 1) / bb
+            per_table = d / np.maximum(hands_t, 1) / bb
+            errs[c, k] = per_table.std(ddof=1) / np.sqrt(len(per_table))
+    return means, errs, hands
 
 
 def tournaments_to_completion(seed: int, cfg, n_tables: int,

@@ -31,7 +31,7 @@ from montecarlo_tpu.models.policy_net import (  # noqa: E402
     load_params, save_params,
 )
 from montecarlo_tpu.models.train_es import (  # noqa: E402
-    kernel_eval_fn, layer_mask, train_es,
+    kernel_eval_fn, kernel_eval_pop_fn, layer_mask, train_es,
 )
 from montecarlo_tpu.ops.pallas_engine import (  # noqa: E402
     selfplay_net_eval_kernel,
@@ -53,12 +53,20 @@ def main():
                     help="comma-separated MLPParams fields to perturb "
                          "(empty = all)")
     ap.add_argument("--save", default="data/policy_6max_es.npz")
+    ap.add_argument("--per-candidate", action="store_true",
+                    help="one launch per candidate (the pre-pop-batched "
+                         "path; default is one launch per generation)")
     args = ap.parse_args()
 
     cfg = TableConfig(num_seats=6, rules="standard")
     params0 = load_params(args.start)
-    eval_fn = kernel_eval_fn(cfg, net_seats=1, n_tables=args.tables,
-                             n_steps=args.steps)
+    if args.per_candidate:
+        eval_kw = {"eval_fn": kernel_eval_fn(
+            cfg, net_seats=1, n_tables=args.tables, n_steps=args.steps)}
+    else:
+        # population-batched: the whole generation in one launch/chunk
+        eval_kw = {"eval_pop_fn": kernel_eval_pop_fn(
+            cfg, net_seats=1, n_tables=args.tables, n_steps=args.steps)}
     mask = None
     if args.mask:
         mask = layer_mask(params0, set(args.mask.split(",")))
@@ -71,10 +79,10 @@ def main():
                           "best_bb": round(best_fit, 4),
                           "elapsed_s": round(dt, 1)}), flush=True)
 
-    out = train_es(args.seed, params0, eval_fn,
+    out = train_es(args.seed, params0,
                    generations=args.generations, pop=args.pop,
                    sigma=args.sigma, lr=args.lr, momentum=args.momentum,
-                   mask=mask, progress=progress)
+                   mask=mask, progress=progress, **eval_kw)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "training_seconds": round(dt, 1),

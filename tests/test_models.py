@@ -243,6 +243,43 @@ def test_es_trainer_improves_toy_fitness():
     assert out.hands_total == 40 * 16 * 100
 
 
+def test_es_pop_path_matches_per_candidate():
+    """eval_pop_fn receives the generation ordered [+e0, -e0, +e1, ...];
+    with a deterministic evaluator the population-batched path must
+    reproduce the per-candidate trajectory exactly (same perturbations,
+    same fitnesses, same updates)."""
+    import numpy as np
+
+    from montecarlo_tpu.models.policy_net import init_params
+    from montecarlo_tpu.models.train_es import _flatten, train_es
+
+    params0 = init_params(jax.random.key(0))
+    target = np.asarray(
+        jax.random.normal(jax.random.key(1), (16,))) * 0.5
+
+    def fitness(params):
+        from montecarlo_tpu.models.train_es import _flatten as fl
+        v, _ = fl(params)
+        return -float(np.mean((np.asarray(v)[:16] - target) ** 2))
+
+    def eval_fn(params, eval_seed):
+        return fitness(params), 100
+
+    def eval_pop_fn(params_list, eval_seed):
+        return [fitness(p) for p in params_list], \
+            [100] * len(params_list)
+
+    a = train_es(3, params0, eval_fn, generations=6, pop=4,
+                 sigma=0.05, lr=0.1)
+    b = train_es(3, params0, eval_pop_fn=eval_pop_fn, generations=6,
+                 pop=4, sigma=0.05, lr=0.1)
+    assert np.allclose(a.fitness_history, b.fitness_history)
+    assert a.hands_total == b.hands_total
+    va, _ = _flatten(a.params)
+    vb, _ = _flatten(b.params)
+    assert bool(jnp.all(va == vb))
+
+
 def test_es_flatten_roundtrip():
     from montecarlo_tpu.models.policy_net import init_params
     from montecarlo_tpu.models.train_es import _flatten, _unflatten

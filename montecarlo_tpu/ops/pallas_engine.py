@@ -1071,15 +1071,10 @@ def _gumbel_pick(logits):
     return jnp.min(jnp.where(z == m[None], _iota(n), n), axis=0)
 
 
-def _net_action(st, head, P, sb, bb, w_refs):
-    """models/policy_net.py:net_policy on block arrays: MLP logits via
-    MXU matmuls (tables flattened to the matmul minor dim), categorical
-    sampling via Gumbel argmax, menu mapping fold/call/2bb/pot."""
-    del sb
+def _mlp_logits(fl, w_refs):
+    """[n_feats, 8, 128] features -> [4, 8, 128] logits via the MLP."""
     w1t, b1, w2t, b2, w3t, b3 = w_refs
     F32 = jnp.float32
-    feats = _features(st, head, P, bb)
-    fl = jnp.stack(feats, axis=0)  # [n_feats, 8, 128]
 
     def dense(wt, b, x):
         # [out, in] x [in, 8, 128] -> [out, 8, 128]: a direct contraction
@@ -1091,7 +1086,40 @@ def _net_action(st, head, P, sb, bb, w_refs):
 
     h = jax.nn.relu(dense(w1t, b1, fl))
     h = jax.nn.relu(dense(w2t, b2, h))
-    logits = dense(w3t, b3, h)  # [4, 8, 128]
+    return dense(w3t, b3, h)  # [4, 8, 128]
+
+
+def _net_action(st, head, P, sb, bb, w_refs, banks=None,
+                seat_to_bank=None):
+    """models/policy_net.py:net_policy on block arrays: MLP logits via
+    MXU matmuls (tables flattened to the matmul minor dim), categorical
+    sampling via Gumbel argmax, menu mapping fold/call/2bb/pot.
+
+    With ``banks=B`` and a static ``seat_to_bank`` map, the weights are
+    B distinct nets flattened into ONE wide MLP (hidden [B*64],
+    block-diagonal w2/w3 — see ``_stack_weights_league``): the SAME
+    three contractions as a single net (per-bank unrolling exploded
+    Mosaic compile time; B=6 wide blew VMEM — head-to-head needs only
+    B=2), then the acting table's [4] logit group is selected by
+    one-hot over its head seat's bank — different nets at different
+    seats of the same table (league/head-to-head evaluation)."""
+    del sb
+    F32 = jnp.float32
+    feats = _features(st, head, P, bb)
+    fl = jnp.stack(feats, axis=0)  # [n_feats, 8, 128]
+
+    if banks is None:
+        logits = _mlp_logits(fl, w_refs)
+    else:
+        z = _mlp_logits(fl, w_refs).reshape(banks, 4, *TILE)
+        head_seat = (st["button"] + head) % P
+        bank = jnp.zeros_like(head_seat)
+        for s in range(P):
+            if seat_to_bank[s]:
+                bank += (head_seat == s) * seat_to_bank[s]
+        sel = (jax.lax.broadcasted_iota(I32, (banks, 1, 1, 1), 0)
+               == bank[None, None]).astype(F32)
+        logits = jnp.sum(z * sel, axis=0)
 
     total = _street_total(st["lvl"])
     needed = total - _pick(st["contrib"], head)
@@ -1111,7 +1139,7 @@ def _net_action(st, head, P, sb, bb, w_refs):
 
 def _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
                      net_seats: int, reset_stacks: bool,
-                     pop: bool = False):
+                     pop: bool = False, banks=None, seat_to_bank=None):
     n_cards = 2 * P + 5
     defer = DEFER if (DEFER > 1 and n_steps % DEFER == 0) else 1
 
@@ -1135,7 +1163,8 @@ def _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
             head_seat = (st["button"] + head) % P
             use_net = (jnp.right_shift(
                 jnp.full_like(head_seat, net_seats), head_seat) & 1) != 0
-            net = _net_action(st, head, P, sb, bb, w_refs)
+            net = _net_action(st, head, P, sb, bb, w_refs, banks=banks,
+                              seat_to_bank=seat_to_bank)
             return jnp.where(use_net, net, rand)
 
         def body(_, st):
@@ -1183,6 +1212,118 @@ def run_net_eval(seed, state, weights, P: int, n_steps: int, sb: int,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(jnp.asarray(seed, I32).reshape(1), state, *weights)
+
+
+@partial(jax.jit, static_argnames=("P", "n_steps", "sb", "bb", "ss",
+                                   "rules", "net_seats", "n_banks",
+                                   "seat_to_bank", "reset_stacks",
+                                   "interpret"))
+def run_net_league(seed, state, weights, P: int, n_steps: int, sb: int,
+                   bb: int, ss: int, rules: str, net_seats: int,
+                   n_banks: int, seat_to_bank,
+                   reset_stacks: bool = True, interpret: bool = False):
+    """League evaluation: ``n_banks`` distinct nets flattened into wide
+    block-diagonal weights (``_stack_weights_league``); seat k plays
+    bank ``seat_to_bank[k]`` (static tuple). Seats not in ``net_seats``
+    still play the random policy."""
+    layout, F = _field_layout(P, rules)
+    n_blocks = state.shape[0]
+    state_spec = pl.BlockSpec((1, F) + TILE, lambda i: (i, 0, 0, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
+                         net_seats, reset_stacks, banks=n_banks,
+                         seat_to_bank=seat_to_bank),
+        grid=(n_blocks,),
+        in_specs=[smem, state_spec] + [vmem] * 6,
+        out_specs=state_spec,
+        out_shape=jax.ShapeDtypeStruct(state.shape, I32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(jnp.asarray(seed, I32).reshape(1), state, *weights)
+
+
+def _stack_weights_league(params_banks):
+    """B distinct MLPs -> ONE wide MLP: hidden dims concatenate to
+    [B*64]; w2/w3 become block-diagonal so the banks never mix; the
+    output [B*4] holds each bank's logit group (selected in-kernel by
+    the head seat's bank). Same op count as a single net — Mosaic
+    compiles it like the plain net kernel instead of B unrolled MLPs.
+    Keep B small: VMEM scales with the wide hidden (B=6 did not fit
+    next to the engine state)."""
+    import numpy as np
+
+    params_per_seat = params_banks
+    S = len(params_per_seat)
+    h1 = params_per_seat[0].w1.shape[1]
+    h2 = params_per_seat[0].w2.shape[1]
+    n_in = params_per_seat[0].w1.shape[0]
+    n_out = params_per_seat[0].w3.shape[1]
+    w1t = np.zeros((S * h1, n_in), np.float32)
+    b1 = np.zeros((S * h1, 1), np.float32)
+    w2t = np.zeros((S * h2, S * h1), np.float32)
+    b2 = np.zeros((S * h2, 1), np.float32)
+    w3t = np.zeros((S * n_out, S * h2), np.float32)
+    b3 = np.zeros((S * n_out, 1), np.float32)
+    for s, p in enumerate(params_per_seat):
+        w1t[s * h1:(s + 1) * h1] = np.asarray(p.w1).T
+        b1[s * h1:(s + 1) * h1, 0] = np.asarray(p.b1)
+        w2t[s * h2:(s + 1) * h2, s * h1:(s + 1) * h1] = np.asarray(p.w2).T
+        b2[s * h2:(s + 1) * h2, 0] = np.asarray(p.b2)
+        w3t[s * n_out:(s + 1) * n_out, s * h2:(s + 1) * h2] = \
+            np.asarray(p.w3).T
+        b3[s * n_out:(s + 1) * n_out, 0] = np.asarray(p.b3)
+    return tuple(jnp.asarray(a) for a in (w1t, b1, w2t, b2, w3t, b3))
+
+
+def selfplay_net_league(seed: int, cfg, params_banks, seat_to_bank,
+                        n_tables: int, n_steps: int, net_seats: int = -1,
+                        steps_per_launch: int = 256, state0=None):
+    """Head-to-head: seat k plays net ``params_banks[seat_to_bank[k]]``
+    (for seats in ``net_seats``; others play random). The button
+    rotates, so every net cycles through all positions — per-seat
+    bb/hand is a fair multi-agent comparison over enough hands.
+
+    Returns ``(bb_per_hand[P], stderr[P], hands)``.
+    """
+    import numpy as np
+
+    P = cfg.num_seats
+    seat_to_bank = tuple(int(b) for b in seat_to_bank)
+    assert len(seat_to_bank) == P
+    assert all(0 <= b < len(params_banks) for b in seat_to_bank)
+    assert cfg.rules in ("reference", "standard")
+    assert n_tables % TABLES_PER_BLOCK == 0
+
+    if state0 is None:
+        state0 = initial_packed_state(seed, cfg, n_tables)
+    state = state0
+    weights = _stack_weights_league(params_banks)
+    if net_seats == -1:
+        net_seats = (1 << P) - 1
+
+    done = 0
+    while done < n_steps:
+        chunk = min(steps_per_launch, n_steps - done)
+        state = run_net_league(seed + done * 7919, state, weights, P,
+                               chunk, cfg.small_blind, cfg.big_blind,
+                               cfg.starting_stack, cfg.rules, net_seats,
+                               len(params_banks), seat_to_bank)
+        done += chunk
+
+    hands_t = np.asarray(unpack_field(state, cfg, "hand_ct"), np.float64)
+    hands = hands_t.sum()
+    bb = cfg.big_blind
+    means, errs = [], []
+    for k in range(P):
+        d = np.asarray(unpack_field(state, cfg, "seat_delta", k),
+                       np.float64)
+        means.append(d.sum() / max(hands, 1) / bb)
+        per_table = d / np.maximum(hands_t, 1) / bb
+        errs.append(per_table.std(ddof=1) / np.sqrt(len(per_table)))
+    return np.array(means), np.array(errs), int(hands)
 
 
 @partial(jax.jit, static_argnames=("P", "n_steps", "sb", "bb", "ss",
@@ -1339,15 +1480,21 @@ def selfplay_net_eval_pop(seed: int, cfg, params_list, net_seats: int,
     means = np.zeros((C, P))
     errs = np.zeros((C, P))
     hands = np.zeros(C, np.int64)
-    host = np.asarray(state)
+    # Slice just the meter rows on device: transferring the full final
+    # state to host is ~830 MB at training shapes; the hand counter plus
+    # P seat-delta rows is ~100x smaller, and the host math below stays
+    # identical to selfplay_net_eval_kernel's (pinned by
+    # scripts/check_pop_kernel.py's exact-equality check).
+    layout, _ = _field_layout(P, cfg.rules)
+    rows = [layout["hand_ct"][0]] + \
+        [layout["seat_delta"][0] + k for k in range(P)]
+    host = np.asarray(state[:, :, jnp.asarray(rows)])  # [C,nb,P+1,8,128]
     for c in range(C):
-        hands_t = np.asarray(
-            unpack_field(host[c], cfg, "hand_ct"), np.float64)
+        hands_t = host[c, :, 0].reshape(-1).astype(np.float64)
         h = hands_t.sum()
         hands[c] = int(h)
         for k in range(P):
-            d = np.asarray(unpack_field(host[c], cfg, "seat_delta", k),
-                           np.float64)
+            d = host[c, :, 1 + k].reshape(-1).astype(np.float64)
             means[c, k] = d.sum() / max(h, 1) / bb
             per_table = d / np.maximum(hands_t, 1) / bb
             errs[c, k] = per_table.std(ddof=1) / np.sqrt(len(per_table))

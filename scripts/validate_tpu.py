@@ -269,18 +269,76 @@ def check_engine_kernel() -> int:
     return failures
 
 
+def check_net_kernels() -> int:
+    """Population-batched and league variants of the net-eval kernel.
+
+    (a) `run_net_eval_pop` (grid (C, blocks), block-indexed PRNG) must
+    reproduce per-candidate `selfplay_net_eval_kernel` launches EXACTLY
+    — same streams, so identical meters and hand counts. (b) the league
+    kernel with P identical per-seat banks must reproduce the single-net
+    kernel with net_seats=all exactly (one-hot bank selection).
+    """
+    import numpy as np
+
+    from montecarlo_tpu.engine.state import TableConfig
+    from montecarlo_tpu.models.policy_net import init_params, load_params
+    from montecarlo_tpu.ops.pallas_engine import (
+        initial_packed_state, selfplay_net_eval_kernel,
+        selfplay_net_eval_pop, selfplay_net_league,
+    )
+
+    failures = 0
+    cfg = TableConfig(num_seats=6, rules="standard")
+    P = cfg.num_seats
+    n_t, n_s, seed = 4096, 256, 314
+    cands = [load_params("data/policy_6max_200.npz"),
+             init_params(jax.random.key(7))]
+    state0 = initial_packed_state(seed, cfg, n_t)
+
+    pm, _, ph = selfplay_net_eval_pop(seed, cfg, cands, net_seats=1,
+                                      n_tables=n_t, n_steps=n_s,
+                                      state0=state0)
+    ok = True
+    for c, p in enumerate(cands):
+        m, _, h = selfplay_net_eval_kernel(seed, cfg, p, net_seats=1,
+                                           n_tables=n_t, n_steps=n_s,
+                                           state0=state0)
+        ok &= bool(np.all(m == pm[c]) and h == ph[c])
+    failures += 0 if ok else 1
+    print(f"pop kernel vs {len(cands)} single launches: exact meters "
+          f"[{'ok' if ok else 'FAIL'}]")
+
+    m1, _, h1 = selfplay_net_eval_kernel(seed, cfg, cands[0],
+                                         net_seats=(1 << P) - 1,
+                                         n_tables=n_t, n_steps=n_s,
+                                         state0=state0)
+    m2, _, h2 = selfplay_net_league(seed, cfg, [cands[0], cands[0]],
+                                    tuple(k % 2 for k in range(P)),
+                                    n_tables=n_t, n_steps=n_s,
+                                    state0=state0)
+    ok = bool(np.all(m1 == m2) and h1 == h2)
+    failures += 0 if ok else 1
+    print(f"league kernel (identical banks) vs single net: exact "
+          f"[{'ok' if ok else 'FAIL'}]")
+    return failures
+
+
 def main() -> int:
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--only", choices=["engine", "equity"], default=None,
+    ap.add_argument("--only", choices=["engine", "equity", "net"],
+                    default=None,
                     help="run one section (full validate can exceed a "
                          "10-minute window on a cold/degraded tunnel)")
     args = ap.parse_args()
 
     failures = 0
+    if args.only == "net":
+        return 1 if check_net_kernels() else 0
     if args.only != "equity":
         failures += check_engine_kernel()
+        failures += check_net_kernels()
     if args.only == "engine":
         return 1 if failures else 0
 

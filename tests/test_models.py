@@ -280,6 +280,30 @@ def test_es_pop_path_matches_per_candidate():
     assert bool(jnp.all(va == vb))
 
 
+def test_league_block_diagonal_weights_equivalent():
+    """_stack_weights_league flattens S nets into one wide MLP with
+    block-diagonal w2/w3; bank s's [4] logit group must equal the plain
+    per-net forward pass exactly (the kernel selects the group by head
+    seat — tests/check on hardware pin the selection; this pins the
+    algebra)."""
+    import numpy as np
+
+    from montecarlo_tpu.models.policy_net import init_params, policy_logits
+    from montecarlo_tpu.ops.pallas_engine import _stack_weights_league
+
+    nets = [init_params(jax.random.key(k)) for k in range(3)]
+    w1t, b1, w2t, b2, w3t, b3 = _stack_weights_league(nets)
+    feats = jax.random.normal(jax.random.key(9), (20,))
+
+    h = jnp.maximum(w1t @ feats + b1[:, 0], 0.0)
+    h = jnp.maximum(w2t @ h + b2[:, 0], 0.0)
+    wide = w3t @ h + b3[:, 0]
+    for s, p in enumerate(nets):
+        direct = policy_logits(p, feats)
+        assert np.allclose(np.asarray(wide[4 * s:4 * s + 4]),
+                           np.asarray(direct), atol=1e-5)
+
+
 def test_es_flatten_roundtrip():
     from montecarlo_tpu.models.policy_net import init_params
     from montecarlo_tpu.models.train_es import _flatten, _unflatten

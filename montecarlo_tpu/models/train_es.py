@@ -126,7 +126,8 @@ def train_es(
         vel = momentum * vel + (1.0 - momentum) * grad
         vec = vec + lr * vel
         if progress is not None:
-            progress(g, mean_fit, float(fits.max()))
+            progress(g, mean_fit, float(fits.max()),
+                     float(fits.max() - fits.min()))
 
     return ESResult(_unflatten(vec, spec), np.asarray(hist), best,
                     hands_total)
@@ -189,6 +190,35 @@ def kernel_eval_pop_fn(cfg, net_seats: int = 1, n_tables: int = 1 << 14,
         means, _, hands = selfplay_net_eval_pop(
             eval_seed, cfg, params_list, net_seats=net_seats,
             n_tables=n_tables, n_steps=n_steps, state0=cache[eval_seed])
+        return means[:, seat], hands
+
+    return eval_pop
+
+
+def kernel_league_eval_pop_fn(cfg, opponent, n_tables: int = 1 << 14,
+                              n_steps: int = 256, seat: int = 0):
+    """League-fitness population evaluator: each candidate plays seat
+    ``seat`` against a FIXED trained ``opponent`` net at every other
+    seat (banked kernel) — fitness measured against the opponent
+    distribution that matters instead of against random players (whose
+    exploitation does not transfer; PERF.md head-to-head finding)."""
+    from montecarlo_tpu.ops.pallas_engine import (
+        initial_packed_state, selfplay_net_league_pop,
+    )
+
+    cache = {}
+
+    def eval_pop(params_list, eval_seed: int):
+        if eval_seed not in cache:
+            cache.clear()
+            cache[eval_seed] = initial_packed_state(eval_seed, cfg,
+                                                    n_tables)
+        seat_to_bank = tuple(0 if k == seat else 1
+                             for k in range(cfg.num_seats))
+        means, _, hands = selfplay_net_league_pop(
+            eval_seed, cfg, params_list, opponent,
+            n_tables=n_tables, n_steps=n_steps,
+            seat_to_bank=seat_to_bank, state0=cache[eval_seed])
         return means[:, seat], hands
 
     return eval_pop

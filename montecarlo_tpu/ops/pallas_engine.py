@@ -1327,10 +1327,12 @@ def selfplay_net_league(seed: int, cfg, params_banks, seat_to_bank,
 
 
 @partial(jax.jit, static_argnames=("P", "n_steps", "sb", "bb", "ss",
-                                   "rules", "net_seats", "reset_stacks",
+                                   "rules", "net_seats", "n_banks",
+                                   "seat_to_bank", "reset_stacks",
                                    "interpret"))
 def run_net_eval_pop(seed, state, weights, P: int, n_steps: int, sb: int,
                      bb: int, ss: int, rules: str, net_seats: int,
+                     n_banks=None, seat_to_bank=None,
                      reset_stacks: bool = True, interpret: bool = False):
     """Population-batched net evaluation: one launch runs C candidates.
 
@@ -1339,7 +1341,11 @@ def run_net_eval_pop(seed, state, weights, P: int, n_steps: int, sb: int,
     PRNG stream is a function of the BLOCK index only, so all candidates
     play the same deals/random-seat draws (common random numbers) — the
     single-launch form of the ES generation that previously took 2*pop
-    separate launches (each ~95% launch overhead, PERF.md)."""
+    separate launches (each ~95% launch overhead, PERF.md).
+
+    With ``n_banks``/``seat_to_bank``, each candidate's weights are a
+    wide banked MLP (``_stack_weights_league``) — league fitness: the
+    candidate plays its mapped seats against fixed opponent bank(s)."""
     layout, F = _field_layout(P, rules)
     C, n_blocks = state.shape[0], state.shape[1]
     state_spec = pl.BlockSpec((1, 1, F) + TILE,
@@ -1353,7 +1359,8 @@ def run_net_eval_pop(seed, state, weights, P: int, n_steps: int, sb: int,
 
     return pl.pallas_call(
         _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
-                         net_seats, reset_stacks, pop=True),
+                         net_seats, reset_stacks, pop=True,
+                         banks=n_banks, seat_to_bank=seat_to_bank),
         grid=(C, n_blocks),
         in_specs=[smem, state_spec] + [wspec(w) for w in weights],
         out_specs=state_spec,
@@ -1456,8 +1463,6 @@ def selfplay_net_eval_pop(seed: int, cfg, params_list, net_seats: int,
 
     Returns ``(bb_per_hand[C, P], stderr[C, P], hands[C])``.
     """
-    import numpy as np
-
     P = cfg.num_seats
     C = len(params_list)
     assert cfg.rules in ("reference", "standard")
@@ -1476,15 +1481,25 @@ def selfplay_net_eval_pop(seed: int, cfg, params_list, net_seats: int,
                                  cfg.starting_stack, cfg.rules, net_seats)
         done += chunk
 
+    return _pop_meters(state, cfg)
+
+
+def _pop_meters(state, cfg):
+    """Per-candidate meters from a pop-kernel final state.
+
+    Slices just the meter rows on device: transferring the full final
+    state to host is ~830 MB at training shapes; the hand counter plus
+    P seat-delta rows is ~100x smaller, and the host math below stays
+    identical to selfplay_net_eval_kernel's (pinned by
+    scripts/check_pop_kernel.py's exact-equality check)."""
+    import numpy as np
+
+    P = cfg.num_seats
+    C = state.shape[0]
     bb = cfg.big_blind
     means = np.zeros((C, P))
     errs = np.zeros((C, P))
     hands = np.zeros(C, np.int64)
-    # Slice just the meter rows on device: transferring the full final
-    # state to host is ~830 MB at training shapes; the hand counter plus
-    # P seat-delta rows is ~100x smaller, and the host math below stays
-    # identical to selfplay_net_eval_kernel's (pinned by
-    # scripts/check_pop_kernel.py's exact-equality check).
     layout, _ = _field_layout(P, cfg.rules)
     rows = [layout["hand_ct"][0]] + \
         [layout["seat_delta"][0] + k for k in range(P)]
@@ -1499,6 +1514,48 @@ def selfplay_net_eval_pop(seed: int, cfg, params_list, net_seats: int,
             per_table = d / np.maximum(hands_t, 1) / bb
             errs[c, k] = per_table.std(ddof=1) / np.sqrt(len(per_table))
     return means, errs, hands
+
+
+def selfplay_net_league_pop(seed: int, cfg, cand_list, opponent,
+                            n_tables: int, n_steps: int,
+                            seat_to_bank=None, net_seats: int = -1,
+                            steps_per_launch: int = 256, state0=None):
+    """League fitness for a POPULATION: candidate c plays bank 0 at its
+    mapped seats against a FIXED ``opponent`` net (bank 1) — one launch
+    per chunk for all candidates, common random numbers across the
+    generation (block-indexed PRNG). Default map seats seat 0 -> the
+    candidate, seats 1..P-1 -> the opponent.
+
+    Returns ``(bb_per_hand[C, P], stderr[C, P], hands[C])``.
+    """
+    P = cfg.num_seats
+    C = len(cand_list)
+    assert cfg.rules in ("reference", "standard")
+    assert n_tables % TABLES_PER_BLOCK == 0
+    if seat_to_bank is None:
+        seat_to_bank = (0,) + (1,) * (P - 1)
+    seat_to_bank = tuple(int(b) for b in seat_to_bank)
+    if net_seats == -1:
+        net_seats = (1 << P) - 1
+
+    if state0 is None:
+        state0 = initial_packed_state(seed, cfg, n_tables)
+    state = jnp.broadcast_to(state0[None], (C,) + state0.shape)
+    per_cand = [_stack_weights_league([cand, opponent])
+                for cand in cand_list]
+    weights = tuple(jnp.stack([w[i] for w in per_cand])
+                    for i in range(6))
+
+    done = 0
+    while done < n_steps:
+        chunk = min(steps_per_launch, n_steps - done)
+        state = run_net_eval_pop(seed + done * 7919, state, weights, P,
+                                 chunk, cfg.small_blind, cfg.big_blind,
+                                 cfg.starting_stack, cfg.rules,
+                                 net_seats, n_banks=2,
+                                 seat_to_bank=seat_to_bank)
+        done += chunk
+    return _pop_meters(state, cfg)
 
 
 def tournaments_to_completion(seed: int, cfg, n_tables: int,

@@ -31,10 +31,11 @@ from montecarlo_tpu.models.policy_net import (  # noqa: E402
     load_params, save_params,
 )
 from montecarlo_tpu.models.train_es import (  # noqa: E402
-    kernel_eval_fn, kernel_eval_pop_fn, layer_mask, train_es,
+    kernel_eval_fn, kernel_eval_pop_fn, kernel_league_eval_pop_fn,
+    layer_mask, train_es,
 )
 from montecarlo_tpu.ops.pallas_engine import (  # noqa: E402
-    selfplay_net_eval_kernel,
+    selfplay_net_eval_kernel, selfplay_net_league,
 )
 
 
@@ -53,6 +54,9 @@ def main():
                     help="comma-separated MLPParams fields to perturb "
                          "(empty = all)")
     ap.add_argument("--save", default="data/policy_6max_es.npz")
+    ap.add_argument("--opponent", default="",
+                    help="artifact path: use league fitness vs this net "
+                         "at seats 1..P-1 instead of random opponents")
     ap.add_argument("--per-candidate", action="store_true",
                     help="one launch per candidate (the pre-pop-batched "
                          "path; default is one launch per generation)")
@@ -63,6 +67,12 @@ def main():
     if args.per_candidate:
         eval_kw = {"eval_fn": kernel_eval_fn(
             cfg, net_seats=1, n_tables=args.tables, n_steps=args.steps)}
+    elif args.opponent:
+        # league fitness: candidate at seat 0 vs the opponent net at
+        # every other seat (vs-random gains don't transfer - PERF.md)
+        eval_kw = {"eval_pop_fn": kernel_league_eval_pop_fn(
+            cfg, load_params(args.opponent), n_tables=args.tables,
+            n_steps=args.steps)}
     else:
         # population-batched: the whole generation in one launch/chunk
         eval_kw = {"eval_pop_fn": kernel_eval_pop_fn(
@@ -73,10 +83,11 @@ def main():
 
     t0 = time.perf_counter()
 
-    def progress(g, mean_fit, best_fit):
+    def progress(g, mean_fit, best_fit, spread):
         dt = time.perf_counter() - t0
         print(json.dumps({"gen": g, "mean_bb": round(mean_fit, 4),
                           "best_bb": round(best_fit, 4),
+                          "spread_bb": round(spread, 5),
                           "elapsed_s": round(dt, 1)}), flush=True)
 
     out = train_es(args.seed, params0,
@@ -90,10 +101,17 @@ def main():
         "training_hands_per_sec": round(out.hands_total / dt),
     }), flush=True)
 
-    # High-precision final: start vs trained on a fresh seed.
+    # High-precision final: start vs trained on a fresh seed, on the
+    # SAME opponent distribution the run trained against.
     for name, p in (("start", params0), ("es", out.params)):
-        m, e, h = selfplay_net_eval_kernel(991, cfg, p, net_seats=1,
-                                           n_tables=1 << 16, n_steps=256)
+        if args.opponent:
+            stb = (0,) + (1,) * (cfg.num_seats - 1)
+            m, e, h = selfplay_net_league(
+                991, cfg, [p, load_params(args.opponent)], stb,
+                n_tables=1 << 16, n_steps=256)
+        else:
+            m, e, h = selfplay_net_eval_kernel(
+                991, cfg, p, net_seats=1, n_tables=1 << 16, n_steps=256)
         print(json.dumps({"final_eval": name,
                           "bb_per_hand_seat0": round(float(m[0]), 4),
                           "stderr": round(float(e[0]), 4),

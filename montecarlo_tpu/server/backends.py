@@ -236,6 +236,22 @@ class JaxBackend:
 
         return public_board(self.state, ids)
 
+    # -- house bots (server extension; the reference's purpose is "test
+    # AIs", README.md:9 — bot seats close that loop over the wire) ------
+    def make_bot(self, params):
+        """Jitted ``(key, state) -> engine action`` from an MLP policy
+        (models/policy_net.py:net_policy — categorical over the masked
+        fold/call/2bb/pot menu)."""
+        import jax
+
+        from montecarlo_tpu.models.policy_net import net_policy
+
+        pol = net_policy(params)
+        return jax.jit(lambda key, state: pol(key, state, 0))
+
+    def bot_action(self, fn, key) -> int:
+        return int(fn(key, self.state))
+
 
 def make_backend(kind: str, n: int, small: int, big: int, seed: int,
                  stacks: Sequence[int], rules: str = "reference"):

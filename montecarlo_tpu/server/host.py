@@ -43,6 +43,41 @@ def _pos_int(x) -> bool:
     return isinstance(x, int) and not isinstance(x, bool) and x > 0
 
 
+# House-bot policies (server extension): named pretrained artifacts a
+# ``new_room`` request can seat with ``"bots": k`` — the reference's
+# stated purpose is a server "to test AIs" (README.md:9); bot seats let a
+# single client play trained opponents over the wire. "uniform" is the
+# zero net: uniform over the masked fold/call/2bb/pot menu.
+BOT_POLICIES = {
+    "6max": "policy_6max_es2.npz",
+    "6max-reinforce": "policy_6max_200.npz",
+    "hu": "policy_hu_300.npz",
+    "uniform": None,
+}
+
+
+def _resolve_bot_policy(name: str):
+    """Bot-policy name -> MLPParams (artifacts live in <repo>/data)."""
+    import os
+
+    from montecarlo_tpu.models.policy_net import (
+        MLPParams, load_params,
+    )
+
+    fname = BOT_POLICIES[name]  # KeyError -> caller answers -5
+    if fname is None:
+        import jax.numpy as jnp
+
+        def z(*s):
+            return jnp.zeros(s, jnp.float32)
+
+        return MLPParams(z(20, 64), z(64), z(64, 64), z(64),
+                         z(64, 4), z(4))
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return load_params(os.path.join(root, "data", fname))
+
+
 class Room:
     """One table: players, engine backend, pending-action mailboxes."""
 
@@ -50,7 +85,8 @@ class Room:
                  backend: str = "auto",
                  action_timeout: Optional[float] = None,
                  default_action: int = -1,
-                 rules: str = "reference"):
+                 rules: str = "reference",
+                 bot_params=None):
         self.name = name
         self.n = n
         self.blinds = dict(blinds)
@@ -61,6 +97,12 @@ class Room:
         self.seats: List[str] = []    # seat order (reverse join order)
         self.engine = None
         self.pending: Dict[str, Optional[int]] = {}
+        # House bots (extension): pids whose actions the room computes
+        # from ``bot_params`` instead of waiting on a client.
+        self.bots: set = set()
+        self.bot_params = bot_params
+        self._bot_fn = None
+        self._bot_n = 0
         # Failure-detection policy (absent in the reference: a dropped
         # client blocks its table forever, player.clj:40). When set, a head
         # seat idle for action_timeout seconds acts default_action (fold).
@@ -84,15 +126,24 @@ class Room:
     def start(self, registry: "Registry"):
         # Reference list-conj semantics: last joiner heads the players list.
         self.seats = list(reversed(self.joined[: self.n]))
+        # Bot rooms run the device engine (the C++ table has no policy
+        # surface; the jax backend exposes the TableState the net reads).
+        kind = "jax" if self.bots else self.backend_kind
         self.engine = make_backend(
-            self.backend_kind, self.n,
+            kind, self.n,
             self.blinds.get("small", 5), self.blinds.get("big", 10),
             self.seed, [registry.stacks[p] for p in self.seats],
             rules=self.rules)
         self.pending = {p: None for p in self.seats}
+        if self.bots:
+            import jax
+
+            self._bot_fn = self.engine.make_bot(self.bot_params)
+            self._bot_key = jax.random.key(7919 * self.seed + 13)
         self._sync_registry(registry)
         self._deal_messages(registry)
         self._broadcast(registry)
+        self.drain(registry)  # bots may act first preflop
 
     # -- messaging ----------------------------------------------------------
     def _deal_messages(self, registry: "Registry"):
@@ -129,14 +180,33 @@ class Room:
 
     def drain(self, registry: "Registry"):
         """Apply pending actions while the head seat has one queued
-        (player-action gating, player.clj:34-45)."""
+        (player-action gating, player.clj:34-45); house-bot head seats
+        act immediately from the room's policy net. Bot runs are bounded
+        per drain (an all-bot-survivor tournament would otherwise spin
+        forever); ``tick`` resumes a bounded-out run."""
+        bot_budget = 256
         while True:
             pid = self.head_pid()
-            if pid is None or self.pending.get(pid) is None:
+            if pid is None:
+                return
+            if pid in self.bots:
+                if bot_budget == 0:
+                    return
+                bot_budget -= 1
+                self._board_action(self._bot_amt(), registry)
+                continue
+            if self.pending.get(pid) is None:
                 return
             amt = self.pending[pid]
             self.pending[pid] = None
             self._board_action(int(amt), registry)
+
+    def _bot_amt(self) -> int:
+        import jax
+
+        key = jax.random.fold_in(self._bot_key, self._bot_n)
+        self._bot_n += 1
+        return self.engine.bot_action(self._bot_fn, key)
 
     def _board_action(self, amt: int, registry: "Registry"):
         """board-action (board.clj:122-129) with host-visible events."""
@@ -152,11 +222,17 @@ class Room:
         self._broadcast(registry)
 
     def tick(self, registry: "Registry", now: Optional[float] = None):
-        """Timeout sweep: force the default action for a stalled head seat."""
-        if not self.started or self.action_timeout is None:
+        """Timeout sweep: force the default action for a stalled head
+        seat; also resume a bot run that hit its per-drain bound."""
+        if not self.started:
+            return
+        if self.bots and self.head_pid() in self.bots:
+            self.drain(registry)
+        if self.action_timeout is None:
             return
         now = time.monotonic() if now is None else now
         if (self.head_pid() is not None
+                and self.head_pid() not in self.bots
                 and now - self._last_progress >= self.action_timeout):
             self._board_action(self.default_action, registry)
             self.drain(registry)
@@ -180,6 +256,13 @@ class Registry:
         self.stacks[pid] = 100                    # database.clj:31
         self.player_rooms[pid] = set()
         self.sinks[pid] = sink
+        return pid
+
+    def add_bot(self) -> str:
+        """Register a house bot: a player with no sink (sends drop)."""
+        pid = f"B__{next(self._gensym)}"
+        self.stacks[pid] = 100
+        self.player_rooms[pid] = set()
         return pid
 
     def remove_player(self, pid: str):
@@ -226,12 +309,36 @@ class Registry:
         if rules not in ("reference", "standard", "tournament"):
             return self.send(pid, error(
                 -5, 'rules must be "reference", "standard" or "tournament"'))
-        self.rooms[name] = Room(name, n, blinds, seed=len(self.rooms),
-                                backend=self.backend,
-                                action_timeout=timeout,
-                                default_action=self.default_action,
-                                rules=rules)
+        # "bots" is a protocol extension: seat k house bots playing the
+        # named pretrained policy ("bot_policy"; default hu/6max by table
+        # size). At least one seat stays human — the server tests AIs, it
+        # doesn't spin bot-only tables.
+        bots = req.get("bots", 0)
+        if not isinstance(bots, int) or isinstance(bots, bool) \
+                or not 0 <= bots < n:
+            return self.send(pid, error(
+                -5, "bots must be an integer in [0, n)"))
+        bot_params = None
+        if bots:
+            policy = req.get("bot_policy", "hu" if n == 2 else "6max")
+            try:
+                bot_params = _resolve_bot_policy(policy)
+            except (KeyError, FileNotFoundError):
+                return self.send(pid, error(
+                    -5, f"unknown bot_policy; have "
+                        f"{sorted(BOT_POLICIES)}"))
+        room = Room(name, n, blinds, seed=len(self.rooms),
+                    backend=self.backend,
+                    action_timeout=timeout,
+                    default_action=self.default_action,
+                    rules=rules, bot_params=bot_params)
+        self.rooms[name] = room
         self.send(pid, OK)
+        for _ in range(bots):
+            bpid = self.add_bot()
+            self.player_rooms[bpid].add(name)
+            room.bots.add(bpid)
+            room.add_player(bpid, self)
 
     def join_room(self, pid: str, req: Dict):
         name = req.get("name")

@@ -320,6 +320,40 @@ def check_net_kernels() -> int:
     failures += 0 if ok else 1
     print(f"league kernel (identical banks) vs single net: exact "
           f"[{'ok' if ok else 'FAIL'}]")
+
+    # (c) bank ROUTING with distinct banks (identical banks can't see a
+    # wrong-but-one-hot selection): a deterministic always-pot-raise net
+    # jams all-in every hand and — all-in players being excluded from
+    # showdown, the preserved reference quirk (board.clj:53-60) — loses
+    # its stack, so seat 0's sign pins which bank it played. The pop
+    # variant must route each candidate's bank-0 likewise.
+    from montecarlo_tpu.ops.pallas_engine import selfplay_net_league_pop
+
+    def biased(key, action):
+        p = init_params(jax.random.key(key))
+        b3 = np.zeros(4, np.float32)
+        b3[action] = 100.0
+        import jax.numpy as jnp
+        return p._replace(w3=p.w3 * 0.0, b3=jnp.asarray(b3))
+
+    callbot, raisebot = biased(1, 1), biased(2, 3)
+    stb = (0,) + (1,) * (P - 1)
+    ma, _, _ = selfplay_net_league(seed, cfg, [callbot, raisebot], stb,
+                                   n_tables=n_t, n_steps=n_s,
+                                   state0=state0)
+    mb, _, _ = selfplay_net_league(seed, cfg, [raisebot, callbot], stb,
+                                   n_tables=n_t, n_steps=n_s,
+                                   state0=state0)
+    mp, _, _ = selfplay_net_league_pop(seed, cfg, [callbot, raisebot],
+                                       raisebot, n_tables=n_t,
+                                       n_steps=n_s, seat_to_bank=stb,
+                                       state0=state0)
+    ok = (ma[0] > 0 > mb[0]          # raisebot jams and loses its stack
+          and mp[0, 0] > mp[1, 0])   # pop candidate banks route likewise
+    failures += 0 if ok else 1
+    print(f"league bank routing (call@0 vs raise@0): seat0 "
+          f"{ma[0]:+.2f} / {mb[0]:+.2f} bb, pop candidates "
+          f"{mp[0, 0]:+.2f} / {mp[1, 0]:+.2f} [{'ok' if ok else 'FAIL'}]")
     return failures
 
 

@@ -445,3 +445,59 @@ def test_tournament_room_freezes_when_won():
     reg.dispatch(b.pid, {"type": "play", "name": "t", "amt": 0})
     assert room.engine.info()["time"] == t0
     assert bool(room.engine.state.hand_over)
+
+
+def test_bots_validation():
+    reg, (a, b, c) = make3()
+    reg.dispatch(a.pid, {"type": "new_room", "name": "r", "n": 2,
+                         "bots": 2})
+    assert a.msgs[-1] == {"status": -5,
+                          "msg": "bots must be an integer in [0, n)"}
+    reg.dispatch(a.pid, {"type": "new_room", "name": "r", "n": 2,
+                         "bots": 1, "bot_policy": "nope"})
+    assert a.msgs[-1]["status"] == -5
+    assert "unknown bot_policy" in a.msgs[-1]["msg"]
+    assert "r" not in reg.rooms
+
+
+def test_heads_up_vs_uniform_bot():
+    """A 2-seat room with one house bot plays whole hands against a
+    single client: the bot acts whenever it is head (including preflop
+    right after the deal), so after every dispatch the action is back on
+    the human (or the hand rolled)."""
+    reg = Registry()
+    a = Client(reg)
+    reg.dispatch(a.pid, {"type": "new_room", "name": "r", "n": 2,
+                         "bots": 1, "bot_policy": "uniform"})
+    assert a.msgs[-1] == {"status": 0, "msg": "OK"}
+    reg.dispatch(a.pid, {"type": "join_room", "name": "r"})
+    room = reg.rooms["r"]
+    assert room.started and len(room.bots) == 1
+    for _ in range(60):
+        assert room.head_pid() == a.pid  # never blocked on the bot
+        reg.dispatch(a.pid, {"type": "play", "name": "r", "amt": 0})
+    assert room.engine.info()["hand_idx"] >= 3  # whole hands completed
+    # The human heard every deal: 2 hole cards per hand index reached.
+    cards = [m for m in a.msgs if isinstance(m, dict) and "card" in m]
+    assert len(cards) == 2 * (room.engine.info()["hand_idx"] + 1)
+
+
+def test_six_max_vs_trained_bots():
+    """Five house bots on the default 6-max artifact vs one client; the
+    room runs the device engine and play always returns to the human."""
+    reg = Registry()
+    a = Client(reg)
+    reg.dispatch(a.pid, {"type": "new_room", "name": "r", "n": 6,
+                         "bots": 5})
+    assert a.msgs[-1] == {"status": 0, "msg": "OK"}
+    reg.dispatch(a.pid, {"type": "join_room", "name": "r"})
+    room = reg.rooms["r"]
+    assert room.started
+    from montecarlo_tpu.server.backends import JaxBackend
+
+    assert isinstance(room.engine, JaxBackend)  # bot rooms force jax
+    t0 = room.engine.info()["time"]
+    for _ in range(12):
+        assert room.head_pid() == a.pid
+        reg.dispatch(a.pid, {"type": "play", "name": "r", "amt": 0})
+    assert room.engine.info()["time"] > t0 + 12  # bots acted in between

@@ -51,10 +51,11 @@ def _unflatten(vec, spec) -> MLPParams:
 
 
 class ESResult(NamedTuple):
-    params: MLPParams
+    params: MLPParams             # center at the best-mean generation
     fitness_history: np.ndarray   # [generations] mean fitness
     best_fitness: float
     hands_total: int
+    final_params: Optional[MLPParams] = None  # last-generation center
 
 
 def train_es(
@@ -70,6 +71,7 @@ def train_es(
     progress: Optional[Callable] = None,
     eval_pop_fn: Optional[Callable] = None,  # ([params], seed) ->
                                              # (fits[2*pop], hands[2*pop])
+    noise_floor: float = 0.0,
 ) -> ESResult:
     """Antithetic ES ascent on ``eval_fn``'s fitness.
 
@@ -80,6 +82,16 @@ def train_es(
     given it receives the whole generation at once, ordered
     ``[+eps_0, -eps_0, +eps_1, ...]`` — the population-batched kernel
     path (one launch per generation instead of ``2*pop``).
+
+    ``noise_floor`` (same units as fitness) guards against spread
+    collapse: fitness is standardized by ``max(std(diff), noise_floor)``,
+    so when perturbations stop flipping any action (a saturated policy:
+    pair differences below measurement noise) the update damps toward
+    zero instead of amplifying noise to a full lr-sized random-walk step
+    — the observed failure mode of league-fitness runs, where the center
+    drifted off its fitness peak once the spread died. The returned
+    ``params`` is the CENTER snapshotted at the best-mean generation
+    (evaluated before that generation's update), not the final center.
     """
     assert (eval_fn is None) != (eval_pop_fn is None), \
         "exactly one of eval_fn / eval_pop_fn"
@@ -87,6 +99,7 @@ def train_es(
     vel = jnp.zeros_like(vec)
     key = jax.random.key(seed)
     hist, hands_total, best = [], 0, -np.inf
+    best_mean, best_vec = -np.inf, vec
 
     for g in range(generations):
         key, kp = jax.random.split(key)
@@ -114,13 +127,18 @@ def train_es(
         mean_fit = float(fits.mean())
         hist.append(mean_fit)
         best = max(best, float(fits.max()))
+        if mean_fit > best_mean:
+            # the generation's candidates are vec +/- sigma*eps; their
+            # mean fitness estimates the CENTER's (antithetic pairs
+            # cancel the O(sigma) term) — snapshot before updating.
+            best_mean, best_vec = mean_fit, vec
         # standardized antithetic ascent direction. Fitness is
         # standardized per generation, so the direction has unit-free
         # O(1/sqrt(pop)) coordinates; lr directly sets the weight-space
         # step size (no 1/sigma factor — that rescaling blows up small
         # populations).
         diff = (fits[:, 0] - fits[:, 1]) / 2.0       # [pop]
-        std = diff.std() + 1e-8
+        std = max(float(diff.std()), noise_floor) + 1e-8
         w = jnp.asarray(diff / std, vec.dtype)
         grad = (w[:, None] * eps).mean(axis=0)
         vel = momentum * vel + (1.0 - momentum) * grad
@@ -129,8 +147,8 @@ def train_es(
             progress(g, mean_fit, float(fits.max()),
                      float(fits.max() - fits.min()))
 
-    return ESResult(_unflatten(vec, spec), np.asarray(hist), best,
-                    hands_total)
+    return ESResult(_unflatten(best_vec, spec), np.asarray(hist), best,
+                    hands_total, _unflatten(vec, spec))
 
 
 def layer_mask(params: MLPParams, names) -> jnp.ndarray:

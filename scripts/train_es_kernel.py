@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--tables", type=int, default=1 << 14)
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--seed", type=int, default=17)
+    ap.add_argument("--noise-floor", type=float, default=0.003,
+                    help="bb/hand spread floor for fitness "
+                         "standardization (damps updates when policy "
+                         "saturation kills the perturbation signal)")
     ap.add_argument("--start", default="data/policy_6max_200.npz")
     ap.add_argument("--mask", default="",
                     help="comma-separated MLPParams fields to perturb "
@@ -93,7 +97,8 @@ def main():
     out = train_es(args.seed, params0,
                    generations=args.generations, pop=args.pop,
                    sigma=args.sigma, lr=args.lr, momentum=args.momentum,
-                   mask=mask, progress=progress, **eval_kw)
+                   mask=mask, progress=progress,
+                   noise_floor=args.noise_floor, **eval_kw)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "training_seconds": round(dt, 1),

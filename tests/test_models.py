@@ -314,3 +314,59 @@ def test_es_flatten_roundtrip():
     for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(q)):
         assert a.shape == b.shape
         assert bool(jnp.all(a == b))
+
+
+def test_es_returns_best_mean_center():
+    """When fitness peaks mid-run and then declines, ES must return the
+    center AT the peak generation (== the final center of a run stopped
+    there), not the drifted last center."""
+    import numpy as np
+
+    from montecarlo_tpu.models.policy_net import init_params
+    from montecarlo_tpu.models.train_es import _flatten, train_es
+
+    params0 = init_params(jax.random.key(0))
+    sched = [0.0, 1.0, 2.0, 1.0, 0.0]
+
+    def eval_pop_fn(params_list, eval_seed):
+        g = eval_seed - 3 * 1_000_003
+        # tiny candidate-dependent jitter keeps the spread nonzero
+        fits = [sched[g] + 1e-6 * i for i in range(len(params_list))]
+        return fits, [100] * len(params_list)
+
+    a = train_es(3, params0, eval_pop_fn=eval_pop_fn, generations=5,
+                 pop=4, sigma=0.05, lr=0.1)
+    b = train_es(3, params0, eval_pop_fn=eval_pop_fn, generations=2,
+                 pop=4, sigma=0.05, lr=0.1)
+    va, _ = _flatten(a.params)
+    vb, _ = _flatten(b.final_params)
+    assert int(np.argmax(a.fitness_history)) == 2
+    assert bool(jnp.all(va == vb))
+    vf, _ = _flatten(a.final_params)
+    assert not bool(jnp.all(va == vf))
+
+
+def test_es_noise_floor_damps_collapsed_spread():
+    """With pair differences far below the noise floor, the update must
+    damp toward zero instead of standardizing measurement noise into a
+    full lr-sized random-walk step (the observed league-run failure)."""
+    import numpy as np
+
+    from montecarlo_tpu.models.policy_net import init_params
+    from montecarlo_tpu.models.train_es import _flatten, train_es
+
+    params0 = init_params(jax.random.key(0))
+    vec0, _ = _flatten(params0)
+
+    def eval_pop_fn(params_list, eval_seed):
+        fits = [1e-7 * i for i in range(len(params_list))]
+        return fits, [100] * len(params_list)
+
+    drift = train_es(3, params0, eval_pop_fn=eval_pop_fn, generations=5,
+                     pop=4, sigma=0.05, lr=0.1)
+    damped = train_es(3, params0, eval_pop_fn=eval_pop_fn, generations=5,
+                      pop=4, sigma=0.05, lr=0.1, noise_floor=0.01)
+    vd, _ = _flatten(drift.final_params)
+    vn, _ = _flatten(damped.final_params)
+    assert float(jnp.abs(vd - vec0).max()) > 1e-3       # noise amplified
+    assert float(jnp.abs(vn - vec0).max()) < 1e-4       # damped

@@ -72,6 +72,8 @@ def train_es(
     eval_pop_fn: Optional[Callable] = None,  # ([params], seed) ->
                                              # (fits[2*pop], hands[2*pop])
     noise_floor: float = 0.0,
+    center_eval_fn: Optional[Callable] = None,  # (params) -> fitness
+    center_eval_every: int = 10,
 ) -> ESResult:
     """Antithetic ES ascent on ``eval_fn``'s fitness.
 
@@ -90,8 +92,13 @@ def train_es(
     zero instead of amplifying noise to a full lr-sized random-walk step
     — the observed failure mode of league-fitness runs, where the center
     drifted off its fitness peak once the spread died. The returned
-    ``params`` is the CENTER snapshotted at the best-mean generation
-    (evaluated before that generation's update), not the final center.
+    ``params`` is the CENTER snapshotted at its best measured quality,
+    not the final center. Quality is ``center_eval_fn`` (every
+    ``center_eval_every`` generations, plus the last) when given — use a
+    FIXED holdout seed inside it so snapshots share common random
+    numbers and the argmax is not a winner's curse over per-generation
+    deal noise (measured: a +0.19 bb best-mean generation whose center
+    evaluated at ~0 on a fresh seed). Fallback: best per-generation mean.
     """
     assert (eval_fn is None) != (eval_pop_fn is None), \
         "exactly one of eval_fn / eval_pop_fn"
@@ -127,7 +134,12 @@ def train_es(
         mean_fit = float(fits.mean())
         hist.append(mean_fit)
         best = max(best, float(fits.max()))
-        if mean_fit > best_mean:
+        if center_eval_fn is not None:
+            if g % center_eval_every == 0 or g == generations - 1:
+                cf = float(center_eval_fn(_unflatten(vec, spec)))
+                if cf > best_mean:
+                    best_mean, best_vec = cf, vec
+        elif mean_fit > best_mean:
             # the generation's candidates are vec +/- sigma*eps; their
             # mean fitness estimates the CENTER's (antithetic pairs
             # cancel the O(sigma) term) — snapshot before updating.

@@ -94,11 +94,34 @@ def main():
                           "spread_bb": round(spread, 5),
                           "elapsed_s": round(dt, 1)}), flush=True)
 
+    # Center quality on a FIXED holdout seed (common random numbers
+    # across the whole run): per-generation means carry ~±0.06 bb of
+    # fresh-seed deal noise, so argmaxing them snapshots seed luck, not
+    # policy quality (winner's curse — measured in PERF.md). Same call
+    # shapes as the final evals below, so no extra kernel compiles.
+    HOLDOUT = 777
+
+    def center_eval(p):
+        if args.opponent:
+            stb = (0,) + (1,) * (cfg.num_seats - 1)
+            m, _, _ = selfplay_net_league(
+                HOLDOUT, cfg, [p, load_params(args.opponent)], stb,
+                n_tables=1 << 16, n_steps=256)
+        else:
+            m, _, _ = selfplay_net_eval_kernel(
+                HOLDOUT, cfg, p, net_seats=1, n_tables=1 << 16,
+                n_steps=256)
+        print(json.dumps({"center_bb": round(float(m[0]), 4),
+                          "elapsed_s": round(time.perf_counter() - t0,
+                                             1)}), flush=True)
+        return float(m[0])
+
     out = train_es(args.seed, params0,
                    generations=args.generations, pop=args.pop,
                    sigma=args.sigma, lr=args.lr, momentum=args.momentum,
                    mask=mask, progress=progress,
-                   noise_floor=args.noise_floor, **eval_kw)
+                   noise_floor=args.noise_floor,
+                   center_eval_fn=center_eval, **eval_kw)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "training_seconds": round(dt, 1),

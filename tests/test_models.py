@@ -370,3 +370,35 @@ def test_es_noise_floor_damps_collapsed_spread():
     vn, _ = _flatten(damped.final_params)
     assert float(jnp.abs(vd - vec0).max()) > 1e-3       # noise amplified
     assert float(jnp.abs(vn - vec0).max()) < 1e-4       # damped
+
+
+def test_es_center_eval_fn_selects_best_holdout():
+    """With center_eval_fn given, the snapshot criterion is the holdout
+    evaluation (not the noisy per-generation mean): the returned params
+    must be the exact center seen at the best-scoring call."""
+    import numpy as np
+
+    from montecarlo_tpu.models.policy_net import init_params
+    from montecarlo_tpu.models.train_es import _flatten, train_es
+
+    params0 = init_params(jax.random.key(0))
+    scores = iter([0.0, 5.0, 1.0, 0.5, 0.5, 0.5])
+    seen = []
+
+    def center_eval(params):
+        v, _ = _flatten(params)
+        seen.append(np.asarray(v).copy())
+        return next(scores)
+
+    def eval_pop_fn(params_list, eval_seed):
+        # means are deliberately deceptive: huge and increasing
+        return [100.0 + eval_seed + 1e-3 * i
+                for i in range(len(params_list))], \
+            [1] * len(params_list)
+
+    out = train_es(3, params0, eval_pop_fn=eval_pop_fn, generations=5,
+                   pop=4, sigma=0.05, lr=0.1, center_eval_fn=center_eval,
+                   center_eval_every=1)
+    vbest, _ = _flatten(out.params)
+    assert len(seen) == 5
+    assert bool(jnp.all(vbest == jnp.asarray(seen[1])))  # score 5.0

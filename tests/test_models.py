@@ -402,3 +402,80 @@ def test_es_center_eval_fn_selects_best_holdout():
     vbest, _ = _flatten(out.params)
     assert len(seen) == 5
     assert bool(jnp.all(vbest == jnp.asarray(seen[1])))  # score 5.0
+
+
+def test_bot_constructors_implement_their_rules():
+    from montecarlo_tpu.models.bots import (
+        _HOLE, action_bot, panel, threshold_bot,
+    )
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.uniform(0.0, 1.0, (32, NUM_FEATURES)),
+                        jnp.float32)
+
+    # Pure-action bots argmax their action on any input.
+    for a in range(4):
+        logits = policy_logits(action_bot(a), feats)
+        assert np.all(np.argmax(np.asarray(logits), axis=1) == a)
+
+    # Threshold bot: hi above, lo below, others never competitive.
+    bot = threshold_bot(_HOLE, 1.0, hi=3, lo=0)
+    s = sum(w * np.asarray(feats[:, i]) for i, w in _HOLE.items())
+    logits = np.asarray(policy_logits(bot, feats))
+    margin = np.abs(s - 1.0) > 0.01
+    want = np.where(s > 1.0, 3, 0)
+    assert np.all(np.argmax(logits, axis=1)[margin] == want[margin])
+    assert np.all(logits[:, 1] < np.maximum(logits[:, 0], logits[:, 3]))
+    assert np.all(logits[:, 2] < np.maximum(logits[:, 0], logits[:, 3]))
+
+    # bf16-robustness property: TPU matmuls round their INPUTS to
+    # bf16, so hidden activations must stay near zero where bf16
+    # granularity is relative (an affine +C offset construction was
+    # measured to erase small score terms on hardware — bots.py
+    # docstring). Pin both the activation bound and survival of the
+    # decision under explicit bf16 rounding of every matmul input.
+    def bf16(x):
+        return jnp.asarray(x, jnp.bfloat16).astype(jnp.float32)
+
+    h1 = np.asarray(jax.nn.relu(feats @ bot.w1 + bot.b1))
+    assert h1.max() <= 4.0
+    hb = jax.nn.relu(bf16(feats) @ bf16(bot.w1) + bot.b1)
+    hb = jax.nn.relu(bf16(hb) @ bf16(bot.w2) + bot.b2)
+    lb = np.asarray(bf16(hb) @ bf16(bot.w3) + bot.b3)
+    wide = np.abs(s - 1.0) > 0.02   # allow bf16's ~0.4% score warp
+    assert np.all(np.argmax(lb, axis=1)[wide] == want[wide])
+
+    # Spec hands: AA jams, AKo jams (0.96 < 1.0 -> folds at tight,
+    # jams at loose), 72o folds everywhere.
+    def hole_feats(r0, r1, suited, paired):
+        f = np.zeros(NUM_FEATURES, np.float32)
+        f[16], f[17], f[18], f[19] = r0 / 14, r1 / 14, suited, paired
+        return jnp.asarray(f[None])
+
+    tight = threshold_bot(_HOLE, 1.00, hi=3, lo=0)
+    loose = threshold_bot(_HOLE, 0.85, hi=3, lo=0)
+    aa = hole_feats(14, 14, 0, 1)
+    ako = hole_feats(14, 13, 0, 0)
+    s72 = hole_feats(7, 2, 0, 0)
+    assert int(np.argmax(policy_logits(tight, aa))) == 3
+    assert int(np.argmax(policy_logits(tight, ako))) == 0
+    assert int(np.argmax(policy_logits(loose, ako))) == 3
+    assert int(np.argmax(policy_logits(loose, s72))) == 0
+
+    # Panel builds and every member forward-passes.
+    for name, p in panel().items():
+        out = policy_logits(p, feats)
+        assert out.shape == (32, 4), name
+        assert np.all(np.isfinite(np.asarray(out))), name
+
+
+def test_bots_play_full_hands_through_the_engine():
+    from montecarlo_tpu.models.bots import panel
+
+    cfg = TableConfig(num_seats=3, rules="standard")
+    keys = jax.random.split(jax.random.key(5), 32)
+    for name, p in list(panel().items()):
+        final = play_hands(keys, cfg, num_hands=1, policy=net_policy(p))
+        assert bool(jnp.all(final.hand_over)), name
+        sums = np.asarray(final.stacks).sum(axis=1)
+        np.testing.assert_array_equal(sums, np.full_like(sums, 300))

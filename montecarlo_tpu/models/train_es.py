@@ -252,3 +252,58 @@ def kernel_league_eval_pop_fn(cfg, opponent, n_tables: int = 1 << 14,
         return means[:, seat], hands
 
     return eval_pop
+
+
+def kernel_pool_eval_pop_fn(cfg, opponents, n_tables: int = 1 << 14,
+                            n_steps: int = 256, seat: int = 0):
+    """Opponent-POOL fitness: mean over pool members of the candidate's
+    seat-``seat`` bb/hand. ``opponents`` entries are either ``None``
+    (PRNG random opponents — the plain net-eval pop kernel) or an
+    ``MLPParams`` opponent (banked league pop kernel; rule bots from
+    ``models/bots.py`` slot in here as nets).
+
+    Motivation (PERF.md): vs-random edges don't transfer to net-vs-net
+    play, single-net league fitness plateaus at ~0, and the
+    static-exploitability probe showed a loose jam RULE extracts
+    ~0.63 bb/hand from vs-random-trained artifacts. Averaging fitness
+    over {trained net, exploiter bots, random} attacks the measured
+    weakness while anchoring the vs-random and self-play components.
+
+    One launch per (generation, pool member); all members share the
+    per-seed initial state, so every member plays the same decks and
+    the fitness differences across members carry opponent identity
+    only (common random numbers along a second axis).
+    """
+    from montecarlo_tpu.ops.pallas_engine import (
+        initial_packed_state, selfplay_net_eval_pop,
+        selfplay_net_league_pop,
+    )
+
+    assert len(opponents) >= 1
+    stb = tuple(0 if k == seat else 1 for k in range(cfg.num_seats))
+    net_seats = 1 << seat
+    cache = {}
+
+    def eval_pop(params_list, eval_seed: int):
+        if eval_seed not in cache:
+            cache.clear()
+            cache[eval_seed] = initial_packed_state(eval_seed, cfg,
+                                                    n_tables)
+        s0 = cache[eval_seed]
+        tot, hands_sum = None, 0
+        for opp in opponents:
+            if opp is None:
+                m, _, h = selfplay_net_eval_pop(
+                    eval_seed, cfg, params_list, net_seats=net_seats,
+                    n_tables=n_tables, n_steps=n_steps, state0=s0)
+            else:
+                m, _, h = selfplay_net_league_pop(
+                    eval_seed, cfg, params_list, opp,
+                    n_tables=n_tables, n_steps=n_steps,
+                    seat_to_bank=stb, state0=s0)
+            f = np.asarray(m)[:, seat]
+            tot = f if tot is None else tot + f
+            hands_sum += int(np.sum(h))
+        return tot / len(opponents), hands_sum
+
+    return eval_pop

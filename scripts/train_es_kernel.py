@@ -32,7 +32,7 @@ from montecarlo_tpu.models.policy_net import (  # noqa: E402
 )
 from montecarlo_tpu.models.train_es import (  # noqa: E402
     kernel_eval_fn, kernel_eval_pop_fn, kernel_league_eval_pop_fn,
-    layer_mask, train_es,
+    kernel_pool_eval_pop_fn, layer_mask, train_es,
 )
 from montecarlo_tpu.ops.pallas_engine import (  # noqa: E402
     selfplay_net_eval_kernel, selfplay_net_league,
@@ -61,6 +61,13 @@ def main():
     ap.add_argument("--opponent", default="",
                     help="artifact path: use league fitness vs this net "
                          "at seats 1..P-1 instead of random opponents")
+    ap.add_argument("--opponents", default="",
+                    help="comma-separated opponent POOL; each spec is "
+                         "'random', 'bot:NAME' (models/bots.py panel), "
+                         "or an artifact path. Fitness = mean over the "
+                         "pool of seat-0 bb/hand (attacks the measured "
+                         "static exploitability while anchoring the "
+                         "other components)")
     ap.add_argument("--per-candidate", action="store_true",
                     help="one launch per candidate (the pre-pop-batched "
                          "path; default is one launch per generation)")
@@ -68,7 +75,23 @@ def main():
 
     cfg = TableConfig(num_seats=6, rules="standard")
     params0 = load_params(args.start)
-    if args.per_candidate:
+
+    def resolve_opponent(spec):
+        if spec == "random":
+            return None
+        if spec.startswith("bot:"):
+            from montecarlo_tpu.models.bots import panel
+            return panel()[spec[4:]]
+        return load_params(spec)
+
+    pool = ([(s, resolve_opponent(s))
+             for s in args.opponents.split(",") if s]
+            if args.opponents else [])
+    if pool:
+        eval_kw = {"eval_pop_fn": kernel_pool_eval_pop_fn(
+            cfg, [p for _, p in pool], n_tables=args.tables,
+            n_steps=args.steps)}
+    elif args.per_candidate:
         eval_kw = {"eval_fn": kernel_eval_fn(
             cfg, net_seats=1, n_tables=args.tables, n_steps=args.steps)}
     elif args.opponent:
@@ -101,20 +124,38 @@ def main():
     # shapes as the final evals below, so no extra kernel compiles.
     HOLDOUT = 777
 
-    def center_eval(p):
-        if args.opponent:
-            stb = (0,) + (1,) * (cfg.num_seats - 1)
-            m, _, _ = selfplay_net_league(
-                HOLDOUT, cfg, [p, load_params(args.opponent)], stb,
-                n_tables=1 << 16, n_steps=256)
-        else:
-            m, _, _ = selfplay_net_eval_kernel(
-                HOLDOUT, cfg, p, net_seats=1, n_tables=1 << 16,
+    def eval_vs(p, opp, seed, n_tables=1 << 16):
+        """Seat-0 (bb/hand, stderr, hands) of net ``p`` vs one opponent
+        spec (None = random seats)."""
+        if opp is None:
+            m, e, h = selfplay_net_eval_kernel(
+                seed, cfg, p, net_seats=1, n_tables=n_tables,
                 n_steps=256)
-        print(json.dumps({"center_bb": round(float(m[0]), 4),
+        else:
+            stb = (0,) + (1,) * (cfg.num_seats - 1)
+            m, e, h = selfplay_net_league(
+                seed, cfg, [p, opp], stb, n_tables=n_tables,
+                n_steps=256)
+        return float(m[0]), float(e[0]), int(h)
+
+    def center_eval(p):
+        if pool:
+            per = {name: eval_vs(p, opp, HOLDOUT)[0]
+                   for name, opp in pool}
+            mean = sum(per.values()) / len(per)
+            print(json.dumps({"center_bb": round(mean, 4),
+                              **{f"center_{n}": round(v, 4)
+                                 for n, v in per.items()},
+                              "elapsed_s": round(
+                                  time.perf_counter() - t0, 1)}),
+                  flush=True)
+            return mean
+        opp = load_params(args.opponent) if args.opponent else None
+        bb, _, _ = eval_vs(p, opp, HOLDOUT)
+        print(json.dumps({"center_bb": round(bb, 4),
                           "elapsed_s": round(time.perf_counter() - t0,
                                              1)}), flush=True)
-        return float(m[0])
+        return bb
 
     out = train_es(args.seed, params0,
                    generations=args.generations, pop=args.pop,
@@ -130,19 +171,25 @@ def main():
     }), flush=True)
 
     # High-precision final: start vs trained on a fresh seed, on the
-    # SAME opponent distribution the run trained against.
+    # SAME opponent distribution the run trained against (per-member
+    # breakdown for pools).
     for name, p in (("start", params0), ("es", out.params)):
-        if args.opponent:
-            stb = (0,) + (1,) * (cfg.num_seats - 1)
-            m, e, h = selfplay_net_league(
-                991, cfg, [p, load_params(args.opponent)], stb,
-                n_tables=1 << 16, n_steps=256)
-        else:
-            m, e, h = selfplay_net_eval_kernel(
-                991, cfg, p, net_seats=1, n_tables=1 << 16, n_steps=256)
+        if pool:
+            rows = {}
+            for oname, opp in pool:
+                bb, se, h = eval_vs(p, opp, 991)
+                rows[oname] = {"bb": round(bb, 4),
+                               "stderr": round(se, 4), "hands": h}
+            mean = sum(r["bb"] for r in rows.values()) / len(rows)
+            print(json.dumps({"final_eval": name,
+                              "pool_mean_bb": round(mean, 4),
+                              "per_opponent": rows}), flush=True)
+            continue
+        opp = load_params(args.opponent) if args.opponent else None
+        bb, se, h = eval_vs(p, opp, 991)
         print(json.dumps({"final_eval": name,
-                          "bb_per_hand_seat0": round(float(m[0]), 4),
-                          "stderr": round(float(e[0]), 4),
+                          "bb_per_hand_seat0": round(bb, 4),
+                          "stderr": round(se, 4),
                           "hands": h}), flush=True)
 
     if args.save:

@@ -479,3 +479,46 @@ def test_bots_play_full_hands_through_the_engine():
         assert bool(jnp.all(final.hand_over)), name
         sums = np.asarray(final.stacks).sum(axis=1)
         np.testing.assert_array_equal(sums, np.full_like(sums, 300))
+
+
+def test_pool_eval_pop_fn_averages_over_opponents(monkeypatch):
+    """kernel_pool_eval_pop_fn: fitness = mean over pool members, hands
+    summed, one shared initial state per eval seed (CRN across members),
+    random members routed to the net-eval pop kernel and net/bot members
+    to the league pop kernel."""
+    from montecarlo_tpu.models import train_es as te
+    from montecarlo_tpu.models.bots import action_bot
+    from montecarlo_tpu.ops import pallas_engine as pe
+
+    calls = []
+    token = object()
+
+    def fake_initial(seed, cfg, n_tables):
+        return token
+
+    def fake_eval_pop(seed, cfg, cands, net_seats, n_tables, n_steps,
+                      state0):
+        calls.append(("random", state0))
+        m = np.full((len(cands), cfg.num_seats), 0.1)
+        return m, None, np.full(len(cands), 100)
+
+    def fake_league_pop(seed, cfg, cands, opp, n_tables, n_steps,
+                        seat_to_bank, state0):
+        calls.append(("league", state0))
+        m = np.full((len(cands), cfg.num_seats), 0.3)
+        return m, None, np.full(len(cands), 200)
+
+    monkeypatch.setattr(pe, "initial_packed_state", fake_initial)
+    monkeypatch.setattr(pe, "selfplay_net_eval_pop", fake_eval_pop)
+    monkeypatch.setattr(pe, "selfplay_net_league_pop", fake_league_pop)
+
+    cfg = TableConfig(num_seats=6, rules="standard")
+    f = te.kernel_pool_eval_pop_fn(
+        cfg, [None, action_bot(1)], n_tables=64, n_steps=8)
+    cands = [init_params(jax.random.key(i)) for i in range(4)]
+    fits, hands = f(cands, eval_seed=7)
+
+    np.testing.assert_allclose(np.asarray(fits), 0.2)  # (0.1+0.3)/2
+    assert hands == 4 * 100 + 4 * 200
+    assert [k for k, _ in calls] == ["random", "league"]
+    assert all(s is token for _, s in calls)  # shared state0

@@ -74,6 +74,8 @@ def train_es(
     noise_floor: float = 0.0,
     center_eval_fn: Optional[Callable] = None,  # (params) -> fitness
     center_eval_every: int = 10,
+    checkpoint_fn: Optional[Callable] = None,  # (g, center, best,
+                                               #  best_quality) -> None
 ) -> ESResult:
     """Antithetic ES ascent on ``eval_fn``'s fitness.
 
@@ -139,6 +141,13 @@ def train_es(
                 cf = float(center_eval_fn(_unflatten(vec, spec)))
                 if cf > best_mean:
                     best_mean, best_vec = cf, vec
+                if checkpoint_fn is not None:
+                    # durable progress: the tunnel occasionally kills
+                    # long runs silently (PERF.md) — persist the current
+                    # center + best-so-far so a --resume relaunch loses
+                    # at most ``center_eval_every`` generations.
+                    checkpoint_fn(g, _unflatten(vec, spec),
+                                  _unflatten(best_vec, spec), best_mean)
         elif mean_fit > best_mean:
             # the generation's candidates are vec +/- sigma*eps; their
             # mean fitness estimates the CENTER's (antithetic pairs

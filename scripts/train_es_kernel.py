@@ -71,10 +71,44 @@ def main():
     ap.add_argument("--per-candidate", action="store_true",
                     help="one launch per candidate (the pre-pop-batched "
                          "path; default is one launch per generation)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from <save>.ckpt.npz/<save>."
+                         "progress.json if present (the device tunnel "
+                         "occasionally kills long runs silently; drive "
+                         "with a retry loop — at most center_eval_every "
+                         "generations are lost per death)")
     args = ap.parse_args()
 
     cfg = TableConfig(num_seats=6, rules="standard")
-    params0 = load_params(args.start)
+
+    # Durable progress: when --save is set, every center eval also
+    # persists (a) the current center to <save>.ckpt.npz, (b) attempt
+    # progress to <save>.progress.json, and (c) the best-by-holdout
+    # params to <save> itself whenever the holdout quality improves —
+    # so a killed run leaves a usable artifact and --resume continues.
+    ckpt_path = args.save + ".ckpt.npz" if args.save else ""
+    side_path = args.save + ".progress.json" if args.save else ""
+    prog = {"gens_done": 0, "best_bb": -1e30}
+    start_path = args.start
+    if args.resume and ckpt_path and os.path.exists(ckpt_path) \
+            and os.path.exists(side_path):
+        with open(side_path) as f:
+            prog.update(json.load(f))
+        start_path = ckpt_path
+        print(json.dumps({"resumed_at_gen": prog["gens_done"],
+                          "best_bb": prog["best_bb"]}), flush=True)
+    base_done = int(prog["gens_done"])
+    gens_left = max(0, args.generations - base_done)
+    params0 = load_params(start_path)
+
+    def checkpoint(g, center, best, best_quality):
+        save_params(ckpt_path, center)
+        if float(best_quality) > prog["best_bb"]:
+            prog["best_bb"] = float(best_quality)
+            save_params(args.save, best)
+        prog["gens_done"] = base_done + g + 1
+        with open(side_path, "w") as f:
+            json.dump(prog, f)
 
     def resolve_opponent(spec):
         if spec == "random":
@@ -157,12 +191,14 @@ def main():
                                              1)}), flush=True)
         return bb
 
-    out = train_es(args.seed, params0,
-                   generations=args.generations, pop=args.pop,
+    out = train_es(args.seed + base_done, params0,
+                   generations=gens_left, pop=args.pop,
                    sigma=args.sigma, lr=args.lr, momentum=args.momentum,
                    mask=mask, progress=progress,
                    noise_floor=args.noise_floor,
-                   center_eval_fn=center_eval, **eval_kw)
+                   center_eval_fn=center_eval,
+                   checkpoint_fn=checkpoint if args.save else None,
+                   **eval_kw)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "training_seconds": round(dt, 1),
@@ -172,8 +208,12 @@ def main():
 
     # High-precision final: start vs trained on a fresh seed, on the
     # SAME opponent distribution the run trained against (per-member
-    # breakdown for pools).
-    for name, p in (("start", params0), ("es", out.params)):
+    # breakdown for pools). With checkpointing, <save> holds the
+    # best-by-holdout across ALL attempts — evaluate that.
+    es_params = out.params
+    if args.save and os.path.exists(args.save):
+        es_params = load_params(args.save)
+    for name, p in (("start", params0), ("es", es_params)):
         if pool:
             rows = {}
             for oname, opp in pool:
@@ -193,8 +233,10 @@ def main():
                           "hands": h}), flush=True)
 
     if args.save:
-        save_params(args.save, out.params)
-        print(f"saved {args.save}")
+        if not os.path.exists(args.save):
+            save_params(args.save, out.params)
+        print(f"saved {args.save} (best holdout "
+              f"{max(prog['best_bb'], -999.0):.4f})")
 
 
 if __name__ == "__main__":

@@ -522,3 +522,36 @@ def test_pool_eval_pop_fn_averages_over_opponents(monkeypatch):
     assert hands == 4 * 100 + 4 * 200
     assert [k for k, _ in calls] == ["random", "league"]
     assert all(s is token for _, s in calls)  # shared state0
+
+
+def test_es_checkpoint_fn_cadence_and_payload():
+    """checkpoint_fn fires with center evals (every center_eval_every
+    plus the last generation) and carries the best-by-holdout params and
+    its quality (monotone non-decreasing)."""
+    from montecarlo_tpu.models.train_es import train_es
+
+    target = np.zeros(2, np.float32)
+    p0 = MLPParamsToy = None  # noqa: F841 (readability)
+    base = init_params(jax.random.key(0), hidden=4)
+
+    def eval_pop(cands, seed):
+        fits = [-float(np.square(np.asarray(c.b3[:2])).sum())
+                for c in cands]
+        return np.asarray(fits), len(cands)
+
+    calls = []
+
+    def center_eval(p):
+        return -float(np.square(np.asarray(p.b3[:2])).sum())
+
+    def checkpoint(g, center, best, best_quality):
+        calls.append((g, float(best_quality)))
+
+    train_es(3, base, eval_pop_fn=eval_pop, generations=21, pop=4,
+             sigma=0.1, lr=0.2, center_eval_fn=center_eval,
+             center_eval_every=10, checkpoint_fn=checkpoint)
+
+    gens = [g for g, _ in calls]
+    assert gens == [0, 10, 20]
+    quals = [q for _, q in calls]
+    assert quals == sorted(quals)  # best-by-holdout never regresses

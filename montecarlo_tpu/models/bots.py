@@ -80,18 +80,22 @@ def action_bot(action: int, strength: float = 100.0) -> MLPParams:
     return _params(d)
 
 
-def threshold_bot(score: dict[int, float], threshold: float,
-                  hi: int, lo: int, gain: float = 200.0) -> MLPParams:
-    """Play ``hi`` when ``sum(score[i] * feats[i]) > threshold``, else ``lo``.
+def vector_bot(score_vec, threshold: float, hi: int, lo: int,
+               gain: float = 200.0) -> MLPParams:
+    """Play ``hi`` when ``score_vec . feats > threshold``, else ``lo``.
 
-    ``score`` maps feature indices to weights; ``hi``/``lo`` are menu
-    indices. Other actions get logit -300 (never played).
+    The fully-parametric form of ``threshold_bot``: ``score_vec`` is a
+    length-``NUM_FEATURES`` weight vector (any linear rule over the
+    policy features). This is the continuous family
+    ``scripts/opt_bot.py`` optimizes with CMA-ES to turn the static
+    panel's exploitability lower bound into an *adaptive* one.
     """
     assert hi != lo and 0 <= hi < NUM_ACTIONS and 0 <= lo < NUM_ACTIONS
+    score_vec = np.asarray(score_vec, np.float32)
+    assert score_vec.shape == (NUM_FEATURES,)
     d = _zeros()
-    for i, w in score.items():
-        d["w1"][i, 0] = w
-        d["w1"][i, 1] = -w
+    d["w1"][:, 0] = score_vec
+    d["w1"][:, 1] = -score_vec
     d["b1"][0] = -threshold   # h1[0] = relu(s - t)
     d["b1"][1] = threshold    # h1[1] = relu(t - s)
     d["w2"][0, 0] = 1.0
@@ -102,6 +106,19 @@ def threshold_bot(score: dict[int, float], threshold: float,
     d["b3"][hi] = 0.0
     d["b3"][lo] = 0.0
     return _params(d)
+
+
+def threshold_bot(score: dict[int, float], threshold: float,
+                  hi: int, lo: int, gain: float = 200.0) -> MLPParams:
+    """Play ``hi`` when ``sum(score[i] * feats[i]) > threshold``, else ``lo``.
+
+    ``score`` maps feature indices to weights; ``hi``/``lo`` are menu
+    indices. Other actions get logit -300 (never played).
+    """
+    vec = np.zeros((NUM_FEATURES,), np.float32)
+    for i, w in score.items():
+        vec[i] = w
+    return vector_bot(vec, threshold, hi, lo, gain)
 
 
 # Hole-strength score: 0.5*(r0 + r1) + 0.35*paired + 0.08*suited, with

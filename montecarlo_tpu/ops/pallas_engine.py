@@ -1071,6 +1071,16 @@ def _gumbel_pick(logits):
     return jnp.min(jnp.where(z == m[None], _iota(n), n), axis=0)
 
 
+def _argmax_pick(logits):
+    """Deterministic pick over the leading axis: first index attaining
+    the max — the same tie-break as ``jnp.argmax`` and the det twin of
+    ``_gumbel_pick`` (no PRNG, so det-mode net kernels interpret on
+    CPU meshes)."""
+    n = logits.shape[0]
+    m = jnp.max(logits, axis=0)
+    return jnp.min(jnp.where(logits == m[None], _iota(n), n), axis=0)
+
+
 def _mlp_logits(fl, w_refs):
     """[n_feats, 8, 128] features -> [4, 8, 128] logits via the MLP."""
     w1t, b1, w2t, b2, w3t, b3 = w_refs
@@ -1090,7 +1100,7 @@ def _mlp_logits(fl, w_refs):
 
 
 def _net_action(st, head, P, sb, bb, w_refs, banks=None,
-                seat_to_bank=None):
+                seat_to_bank=None, det: bool = False):
     """models/policy_net.py:net_policy on block arrays: MLP logits via
     MXU matmuls (tables flattened to the matmul minor dim), categorical
     sampling via Gumbel argmax, menu mapping fold/call/2bb/pot.
@@ -1127,7 +1137,7 @@ def _net_action(st, head, P, sb, bb, w_refs, banks=None,
     # folding with nothing owed is masked (policy_net.py:80-81)
     logits = jnp.where(_iota(4) == 0,
                        logits + jnp.where(free, -1e9, 0.0)[None], logits)
-    idx = _gumbel_pick(logits)
+    idx = _argmax_pick(logits) if det else _gumbel_pick(logits)
 
     pot = total + jnp.sum(st["pot_amt"], axis=0)
     small = 2 * bb
@@ -1139,9 +1149,44 @@ def _net_action(st, head, P, sb, bb, w_refs, banks=None,
 
 def _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
                      net_seats: int, reset_stacks: bool,
-                     pop: bool = False, banks=None, seat_to_bank=None):
+                     pop: bool = False, banks=None, seat_to_bank=None,
+                     mode: str = "prng", hmax: int = 0):
     n_cards = 2 * P + 5
     defer = DEFER if (DEFER > 1 and n_steps % DEFER == 0) else 1
+
+    if mode == "det":
+        # Deterministic net kernel: actions from the net via argmax (no
+        # Gumbel), per-hand deals injected from a stash (no PRNG at all),
+        # every seat plays the net — so the ES/league deployment shape
+        # (MLP contractions, bank selection, menu mapping, settle)
+        # executes under interpret mode on CPU meshes. Settles every
+        # step like the engine det kernel (run_perpetual_det).
+        assert net_seats == (1 << P) - 1, \
+            "det mode has no PRNG for non-net seats"
+
+        def kernel(seed_ref, state_ref, w1t, b1, w2t, b2, w3t, b3,
+                   cards_ref, out_ref):
+            del seed_ref
+            st = _unpack(state_ref[0], layout)
+            w_refs = (w1t, b1, w2t, b2, w3t, b3)
+
+            def body(i, st):
+                head, _, _ = _head_info(st, P)
+                raw = _net_action(st, head, P, sb, bb, w_refs,
+                                  banks=banks, seat_to_bank=seat_to_bank,
+                                  det=True)
+                # hand 0 was dealt at init; hand h reads stash row h.
+                hand_ptr = st["hand_ct"] + 1
+                stash = cards_ref[0]  # [hmax, n_cards, 8, 128]
+                sel = (jax.lax.broadcasted_iota(I32, (hmax, 1, 1, 1), 0)
+                       == hand_ptr[None, None])
+                cards = jnp.sum(jnp.where(sel, stash, 0), axis=0)
+                return _engine_step(st, raw, cards, P, sb, bb, rules,
+                                    ss, reset_stacks=reset_stacks)
+
+            st = jax.lax.fori_loop(0, n_steps, body, st)
+            out_ref[0] = _pack(st, layout, F)
+        return kernel
 
     def kernel(seed_ref, state_ref, w1t, b1, w2t, b2, w3t, b3, out_ref):
         if pop:
@@ -1243,6 +1288,48 @@ def run_net_league(seed, state, weights, P: int, n_steps: int, sb: int,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(jnp.asarray(seed, I32).reshape(1), state, *weights)
+
+
+def run_net_det(state, cards, weights, P: int, n_steps: int, sb: int,
+                bb: int, ss: int, rules: str, n_banks=None,
+                seat_to_bank=None, reset_stacks: bool = False,
+                interpret: bool = False, jit: bool = False):
+    """Deterministic net/league kernel: argmax action selection and
+    injected per-hand deals (``cards`` [n_blocks, hmax, 2P+5, 8, 128];
+    hand 0 must already be dealt into ``state``) — zero PRNG, so the ES
+    deployment kernel runs under interpret mode on CPU meshes
+    (dryrun_multichip item 7) and is trajectory-pinned against the XLA
+    net pipeline in tests/test_pallas_engine.py. Every seat plays the
+    net; with ``n_banks``/``seat_to_bank`` the weights are a wide banked
+    MLP (league shape, ``_stack_weights_league``).
+
+    Interpret mode runs unjitted by default, like ``run_perpetual_det``
+    (jitting the inlined interpreter program is minutes of XLA:CPU
+    compile)."""
+    layout, F = _field_layout(P, rules)
+    n_blocks = state.shape[0]
+    hmax = cards.shape[1]
+    state_spec = pl.BlockSpec((1, F) + TILE, lambda i: (i, 0, 0, 0))
+    cards_spec = pl.BlockSpec((1, hmax, 2 * P + 5) + TILE,
+                              lambda i: (i, 0, 0, 0, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
+                         (1 << P) - 1, reset_stacks, banks=n_banks,
+                         seat_to_bank=seat_to_bank, mode="det",
+                         hmax=hmax),
+        grid=(n_blocks,),
+        in_specs=[smem, state_spec] + [vmem] * 6 + [cards_spec],
+        out_specs=state_spec,
+        out_shape=jax.ShapeDtypeStruct(state.shape, I32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )
+    if jit:
+        call = jax.jit(call)
+    return call(jnp.zeros((1,), I32), state, *weights, cards)
 
 
 def _stack_weights_league(params_banks):

@@ -355,3 +355,57 @@ def sharded_selfplay_kernel_det(
         out_specs=(P(AXIS), P()),
         check_vma=False)(state, actions, cards)
     return out, int(hands)
+
+
+def sharded_net_kernel_det(
+    mesh: Mesh,
+    cfg: TableConfig,
+    state,
+    cards,
+    weights,
+    n_steps: int,
+    n_banks=None,
+    seat_to_bank=None,
+    interpret: bool = False,
+):
+    """Deterministic NET/league kernel over the mesh: table blocks and
+    deal stashes shard over the tables axis, the banked net weights
+    replicate to every device, and the completed-hand counter
+    psum-reduces — the multi-device form of the ES/league evaluation
+    shape (every seat plays a net, argmax selection, injected deals).
+
+    Zero PRNG, so ``interpret=True`` executes on the 8-device virtual
+    CPU mesh (dryrun_multichip item 7); per-device trajectory equality
+    with the single-device kernel and the XLA net pipeline is pinned in
+    tests/test_parallel.py. Runs eagerly like
+    ``sharded_selfplay_kernel_det`` (jitting the inlined interpreter
+    program is minutes of XLA:CPU compile).
+
+    Returns (final packed state [n_blocks, F, 8, 128], total hands)."""
+    from montecarlo_tpu.ops.pallas_engine import (
+        _field_layout,
+        run_net_det,
+    )
+
+    layout, _ = _field_layout(cfg.num_seats, cfg.rules)
+    hand_ct_row = layout["hand_ct"][0]
+
+    def shard_fn(state, cards, *weights):
+        out = run_net_det(state, cards, weights, cfg.num_seats, n_steps,
+                          cfg.small_blind, cfg.big_blind,
+                          cfg.starting_stack, cfg.rules, n_banks=n_banks,
+                          seat_to_bank=seat_to_bank, interpret=interpret)
+        hands = jnp.sum(out[:, hand_ct_row])
+        return out, jax.lax.psum(hands, AXIS)
+
+    shard = NamedSharding(mesh, P(AXIS))
+    rep = NamedSharding(mesh, P())
+    state = jax.device_put(jnp.asarray(state, I32), shard)
+    cards = jax.device_put(jnp.asarray(cards, I32), shard)
+    weights = tuple(jax.device_put(jnp.asarray(w), rep) for w in weights)
+    out, hands = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)) + (P(),) * len(weights),
+        out_specs=(P(AXIS), P()),
+        check_vma=False)(state, cards, *weights)
+    return out, int(hands)

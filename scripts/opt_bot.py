@@ -1,0 +1,186 @@
+"""Adaptive rule-bot exploitability: CMA-ES over the linear-bot family.
+
+The round-3 panel probe (scripts/exploit_probe.py) measures what 8
+FIXED hand-written bots extract from a trained artifact — a provably
+weak attacker class (league-fitness ES certified es2 "clean" while the
+hand-written jam_loose took +0.63 bb/hand; PERF.md). This script makes
+the attacker ADAPTIVE: CMA-ES (models/cma.py) searches the continuous
+rule family ``vector_bot(score_vec[20], threshold, hi, lo)`` — every
+linear decision rule over the policy features, per discrete (hi, lo)
+action pair — maximizing the bot's seat-0 bb/hand against five copies
+of the subject net (the B-bank league kernel's probe geometry, one
+population launch per CMA generation).
+
+Protocol (winner's-curse-safe, per PERF.md): per-generation fitness uses
+a fresh seed (common random numbers across candidates by kernel
+construction); the running answer is the CMA mean evaluated on a FIXED
+holdout seed every ``--holdout-every`` generations; the reported number
+is a large fresh-seed evaluation of the best-by-holdout bot, with CI.
+
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/opt_bot.py \
+        --subjects es3=data/policy_6max_es3.npz [--pairs 3:0,3:1,1:0,2:0]
+
+Reference tie-in: the subject nets and the bots both drive the engine
+whose hot loop is ``board.clj:122-138``/``gameplay.clj:122-150``; the
+probe itself is rebuild-added AI-testing machinery (README.md:9).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+os.makedirs("/root/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+
+from montecarlo_tpu.engine.state import TableConfig  # noqa: E402
+from montecarlo_tpu.models.bots import vector_bot  # noqa: E402
+from montecarlo_tpu.models.cma import CMAES  # noqa: E402
+from montecarlo_tpu.models.features import NUM_FEATURES  # noqa: E402
+from montecarlo_tpu.models.policy_net import load_params  # noqa: E402
+from montecarlo_tpu.ops.pallas_engine import (  # noqa: E402
+    initial_packed_state, selfplay_net_league, selfplay_net_league_pop,
+)
+
+HOLDOUT = 777
+FINAL_SEED = 991
+
+# jam_loose's hole-strength score as a warm start for jam-family pairs
+# (models/bots.py _HOLE): indices 16/17 hole ranks, 19 paired, 18 suited.
+_JAM_X0 = np.zeros(NUM_FEATURES + 1)
+_JAM_X0[16] = _JAM_X0[17] = 0.5
+_JAM_X0[19] = 0.35
+_JAM_X0[18] = 0.08
+_JAM_X0[-1] = 0.85  # threshold
+
+
+def make_bot(x, hi, lo):
+    return vector_bot(np.asarray(x[:NUM_FEATURES], np.float32),
+                      float(x[NUM_FEATURES]), hi, lo)
+
+
+def optimize_pair(subject, cfg, hi, lo, args, log):
+    P = cfg.num_seats
+    stb = (0,) + (1,) * (P - 1)
+    x0 = _JAM_X0 if (hi, lo) == (3, 0) else np.zeros(NUM_FEATURES + 1)
+    bound = 3.0
+    es = CMAES(x0, sigma0=args.sigma0, popsize=args.popsize,
+               seed=args.seed + 13 * hi + lo,
+               lower=np.full(NUM_FEATURES + 1, -bound),
+               upper=np.full(NUM_FEATURES + 1, bound))
+    holdout_state = initial_packed_state(HOLDOUT, cfg, args.eval_tables)
+
+    def holdout_eval(x):
+        m, e, _ = selfplay_net_league(
+            HOLDOUT, cfg, [make_bot(x, hi, lo), subject], stb,
+            n_tables=args.eval_tables, n_steps=args.eval_steps,
+            state0=holdout_state)
+        return float(m[0]), float(e[0])
+
+    best_x, best_hold = x0, -np.inf
+    t0 = time.perf_counter()
+    for g in range(args.generations):
+        seed_g = args.seed * 1_000_003 + 7919 * (13 * hi + lo) + g
+        state0 = initial_packed_state(seed_g, cfg, args.tables)
+        xs = es.ask()
+        bots = [make_bot(x, hi, lo) for x in xs]
+        m, _, _ = selfplay_net_league_pop(
+            seed_g, cfg, bots, subject, n_tables=args.tables,
+            n_steps=args.steps, seat_to_bank=stb, state0=state0)
+        fits = np.asarray(m)[:, 0]
+        es.tell(fits)
+        if g % args.holdout_every == args.holdout_every - 1 \
+                or g == args.generations - 1:
+            hb, he = holdout_eval(es.mean)
+            if hb > best_hold:
+                best_hold, best_x = hb, es.mean.copy()
+            log({"pair": f"{hi}:{lo}", "gen": g,
+                 "gen_best_bb": round(float(fits.max()), 4),
+                 "gen_mean_bb": round(float(fits.mean()), 4),
+                 "holdout_mean_bb": round(hb, 4),
+                 "cma_sigma": round(es.sigma, 4),
+                 "elapsed_s": round(time.perf_counter() - t0, 1)})
+        else:
+            log({"pair": f"{hi}:{lo}", "gen": g,
+                 "gen_best_bb": round(float(fits.max()), 4),
+                 "gen_mean_bb": round(float(fits.mean()), 4),
+                 "elapsed_s": round(time.perf_counter() - t0, 1)})
+
+    # honest final: fresh seed, large evaluation, never seen in training
+    final_state = initial_packed_state(FINAL_SEED, cfg, args.eval_tables)
+    m, e, h = selfplay_net_league(
+        FINAL_SEED, cfg, [make_bot(best_x, hi, lo), subject], stb,
+        n_tables=args.eval_tables, n_steps=args.eval_steps,
+        state0=final_state)
+    return {"bot_bb_per_hand": round(float(m[0]), 4),
+            "stderr": round(float(e[0]), 4), "hands": int(h),
+            "holdout_bb": round(best_hold, 4),
+            "x": [round(float(v), 4) for v in best_x]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subjects", nargs="+", default=[
+        "es3=data/policy_6max_es3.npz"], help="name=artifact.npz")
+    ap.add_argument("--pairs", default="3:0,3:1,1:0,2:0",
+                    help="comma-separated hi:lo menu-action pairs")
+    ap.add_argument("--generations", type=int, default=50)
+    ap.add_argument("--popsize", type=int, default=24)
+    ap.add_argument("--sigma0", type=float, default=0.5)
+    ap.add_argument("--tables", type=int, default=1 << 14)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--eval-tables", type=int, default=1 << 16)
+    ap.add_argument("--eval-steps", type=int, default=512)
+    ap.add_argument("--holdout-every", type=int, default=10)
+    ap.add_argument("--seats", type=int, default=6)
+    ap.add_argument("--seed", type=int, default=23)
+    ap.add_argument("--save", default="data/exploitability_opt.json")
+    args = ap.parse_args()
+
+    cfg = TableConfig(num_seats=args.seats, rules="standard")
+    pairs = [tuple(int(v) for v in p.split(":"))
+             for p in args.pairs.split(",")]
+
+    def log(d):
+        print(json.dumps(d), flush=True)
+
+    out = {"tables": args.tables, "steps": args.steps,
+           "generations": args.generations, "popsize": args.popsize,
+           "seats": args.seats, "rules": cfg.rules, "subjects": {}}
+    for spec in args.subjects:
+        name, path = spec.split("=", 1)
+        subject = load_params(path)
+        rows = {}
+        for hi, lo in pairs:
+            log({"subject": name, "start_pair": f"{hi}:{lo}"})
+            rows[f"{hi}:{lo}"] = optimize_pair(subject, cfg, hi, lo,
+                                               args, log)
+            log({"subject": name, "pair": f"{hi}:{lo}",
+                 **{k: v for k, v in rows[f"{hi}:{lo}"].items()
+                    if k != "x"}})
+        best = max(rows, key=lambda k: rows[k]["bot_bb_per_hand"])
+        out["subjects"][name] = {
+            "artifact": path, "per_pair": rows,
+            "adaptive_bot_lb_bb": rows[best]["bot_bb_per_hand"],
+            "best_pair": best,
+        }
+        log({"subject": name, "best_pair": best,
+             "adaptive_bot_lb_bb": rows[best]["bot_bb_per_hand"]})
+        if args.save:
+            with open(args.save, "w") as f:
+                json.dump(out, f, indent=1)
+
+    if args.save:
+        print(f"saved {args.save}")
+
+
+if __name__ == "__main__":
+    main()

@@ -363,3 +363,98 @@ def test_kernel_heads_up():
         eq(unpack_field(out, cfg, "stacks", k), ref.stacks[:, k],
            f"stacks[{k}]")
     assert np.asarray(unpack_field(out, cfg, "hand_ct")).sum() > 0
+
+
+def test_net_kernel_det_matches_xla_net_pipeline():
+    """Deterministic NET kernel (argmax pick, injected deals — zero PRNG,
+    so the ES/league deployment shape executes in interpret mode on CPU)
+    vs the XLA net pipeline: every seat plays a packed rule bot
+    (models/bots.py — huge logit margins, so f32 summation-order ulps
+    cannot flip the argmax), seats map to two banked nets exactly like
+    league evaluation, and the trajectories must agree field-for-field."""
+    from montecarlo_tpu.engine.street import bets_needed
+    from montecarlo_tpu.engine.step import head_info
+    from montecarlo_tpu.models.bots import panel
+    from montecarlo_tpu.models.features import state_features
+    from montecarlo_tpu.models.policy_net import (
+        action_from_index, policy_logits,
+    )
+    from montecarlo_tpu.ops import pallas_engine as pe
+    from montecarlo_tpu.ops.pallas_engine import (
+        _stack_weights_league, run_net_det,
+    )
+
+    cfg = make_cfg("standard")
+    rng = np.random.default_rng(43)
+    n_steps, hmax = 32, 16
+    cards = np.argsort(rng.random((T, hmax, 52)),
+                       axis=-1)[..., :N_CARDS].astype(np.int32)
+    decks = _decks_from_cards(cards)
+
+    bots = panel()
+    banks = [bots["jam_tight"], bots["fof_call"]]
+    stb = (0,) + (1,) * (P - 1)  # jam_tight at seat 0, fof_call others
+    bots_by_seat = [banks[b] for b in stb]
+
+    packed = pack_state(cfg, cards[:, 0])
+    cards_in = jnp.asarray(
+        cards.transpose(1, 2, 0).reshape(hmax, N_CARDS, *pe.TILE)[None])
+    weights = _stack_weights_league(banks)
+    out = np.asarray(run_net_det(
+        packed, cards_in, weights, P, n_steps, cfg.small_blind,
+        cfg.big_blind, cfg.starting_stack, cfg.rules, n_banks=2,
+        seat_to_bank=stb, interpret=True))
+
+    def one(table_decks):
+        st = init_state(jax.random.key(0), cfg)
+        st = redeal(st, table_decks[0])
+
+        def body(carry, _):
+            st, done_ct = carry
+            prev = st.hand_idx
+            pos, _, _ = head_info(st)
+            seat = (st.button + pos) % P  # bank by STABLE seat
+            feats = state_features(st)
+            logits_all = jnp.stack([policy_logits(b, feats)
+                                    for b in bots_by_seat])  # [P, 4]
+            logits = jnp.sum(jnp.where(jnp.arange(P)[:, None] == seat,
+                                       logits_all, 0.0), axis=0)
+            # engine arrays are indexed by hand-order POSITION
+            free = bets_needed(st.bets, pos) == 0
+            logits = logits.at[0].add(jnp.where(free, -1e9, 0.0))
+            a = action_from_index(jnp.argmax(logits), st)
+            nxt = step_table(st, clamp_action(st, a), rules=cfg.rules)
+            done_ct = done_ct + (nxt.hand_idx != prev)
+            redealt = redeal(nxt, table_decks[jnp.minimum(nxt.hand_idx,
+                                                          hmax - 1)])
+            nxt = _select_tree(nxt.hand_idx != prev, redealt, nxt)
+            return (nxt, done_ct), None
+
+        (st, done_ct), _ = jax.lax.scan(
+            body, (st, jnp.zeros((), jnp.int32)), None, length=n_steps)
+        return st, done_ct
+
+    ref, ref_done = jax.vmap(one)(jnp.asarray(decks))
+
+    clean = np.asarray(unpack_field(out, cfg, "overflow")) == 0
+    assert clean.mean() > 0.95
+    # the deal stash must cover every completed hand
+    assert np.asarray(unpack_field(out, cfg, "hand_ct")).max() < hmax - 1
+
+    def eq(a, b, what):
+        assert np.array_equal(np.asarray(a)[clean],
+                              np.asarray(b)[clean]), what
+
+    eq(unpack_field(out, cfg, "hand_ct"), ref_done, "hand counts")
+    eq(unpack_field(out, cfg, "stage"), ref.stage, "stage")
+    eq(unpack_field(out, cfg, "cursor"), ref.cursor, "cursor")
+    eq(unpack_field(out, cfg, "folded"), _bitmask(ref.folded), "folded")
+    eq(unpack_field(out, cfg, "in_hand"), _bitmask(ref.in_hand),
+       "in_hand")
+    for k in range(P):
+        eq(unpack_field(out, cfg, "stacks", k), ref.stacks[:, k],
+           f"stacks[{k}]")
+    for k in range(P):
+        eq(unpack_field(out, cfg, "contrib", k), ref.bets.contrib[:, k],
+           f"contrib[{k}]")
+    assert np.asarray(unpack_field(out, cfg, "hand_ct")).sum() > 0

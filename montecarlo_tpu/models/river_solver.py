@@ -340,3 +340,122 @@ def exploitability_gap(game: RiverGame, strat: RiverStrategy) -> float:
     """br1 + br2 - pot (chips; zero exactly at Nash)."""
     br1, br2 = best_response_values(game, strat)
     return br1 + br2 - float(game.pot)
+
+
+# ---------------------------------------------------------------------------
+# Trained-net Nash gap: extract a policy artifact's river strategy and
+# measure its exploitability in the solved subgame
+# ---------------------------------------------------------------------------
+
+def river_node_states(board: Sequence[int], pot_bb: int = 2):
+    """Engine states at the five decision nodes of the river tree.
+
+    A heads-up hand is scripted to the river on an injected deck (blinds,
+    then checks through preflop/flop/turn -> pot = 2bb = 20 chips), then
+    the in-tree prefixes are applied. Bet/raise sizes are the NET'S OWN
+    pot-raise menu at those nodes (B = 20 = the pot-raise at the root,
+    raise TO 80 = bet B + the pot-raise 60 facing it), so the tree speaks
+    the artifact's action language exactly.
+
+    Returns (states, sizes): ``states`` maps node -> a single TableState
+    with the acting player at the head (P1 nodes: position 0; P2 nodes:
+    position 1); hole cards are dummies — swap them per combo via
+    ``_replace(hole=...)`` (features read only the head's own cards +
+    public state, ``models/features.py``).
+    """
+    import numpy as np
+
+    from montecarlo_tpu.engine.state import TableConfig, init_state, redeal
+    from montecarlo_tpu.engine.step import clamp_action, step_table
+
+    assert pot_bb == 2, "the scripted prelude produces a 2bb river pot"
+    cfg = TableConfig(num_seats=2, rules="standard")
+    board = np.asarray(board, np.int32)
+    pot = 2 * cfg.big_blind
+    B = pot                      # pot-raise with nothing owed
+    R = 2 * pot + B              # pot-raise facing the bet (pot+needed)
+
+    dead = set(int(c) for c in board)
+    dummies = [c for c in range(52) if c not in dead][:4]
+    deck = np.zeros(52, np.int32)
+    base = 4
+    pos = list(range(base)) + [base + 1, base + 2, base + 3, base + 5,
+                               base + 7]
+    dealt = np.array(dummies + list(board), np.int32)
+    deck[pos] = dealt
+    rest = np.setdiff1d(np.arange(52), dealt)
+    deck[[p for p in range(52) if p not in pos]] = rest
+
+    st = init_state(jax.random.key(0), cfg)
+    st = redeal(st, jnp.asarray(deck))
+    for a in (0, 0, 0, 0, 0, 0):  # SB call, BB check, check x4
+        st = step_table(st, clamp_action(st, jnp.asarray(a, jnp.int32)),
+                        rules=cfg.rules)
+
+    def advance(s, actions):
+        for a in actions:
+            s = step_table(s, clamp_action(s, jnp.asarray(a, jnp.int32)),
+                           rules=cfg.rules)
+        return s
+
+    states = {
+        "n0": st,                       # P1 to act (head position 0)
+        "n1": advance(st, [0]),         # P2 after check
+        "n2": advance(st, [0, B]),      # P1 facing bet
+        "n3": advance(st, [B]),         # P2 facing bet
+        "n4": advance(st, [B, R]),      # P1 facing raise
+    }
+    return states, dict(pot=float(pot), bet=float(B), raise_=float(R))
+
+
+def net_river_strategy(params, states, hero_combos, villain_combos
+                       ) -> RiverStrategy:
+    """Extract an artifact's strategy at each node for each combo.
+
+    The net's 4-action menu maps onto the tree: with nothing owed
+    {check = call-menu, bet = either raise size}; facing a bet at n3
+    {fold, call, raise = either raise size}; at n2/n4 the tree has no
+    raise, so raise mass continues the hand as a call (the conservative
+    mapping — it neither folds out equity nor invents new lines).
+    Probabilities come from the same masked softmax the artifact plays
+    with everywhere else (policy_net.net_policy's fold mask included).
+    """
+    from montecarlo_tpu.engine.street import bets_needed
+    from montecarlo_tpu.engine.step import head_info
+    from montecarlo_tpu.models.features import state_features
+    from montecarlo_tpu.models.policy_net import policy_logits
+
+    def node_probs(state, combos, head_pos):
+        holes0 = jnp.asarray(state.hole)
+
+        def one(combo):
+            holes = holes0.at[head_pos].set(combo)
+            s = state._replace(hole=holes)
+            feats = state_features(s)
+            logits = policy_logits(params, feats)
+            pos, _, _ = head_info(s)
+            free = bets_needed(s.bets, pos) == 0
+            logits = logits.at[0].add(jnp.where(free, -1e9, 0.0))
+            return jax.nn.softmax(logits)
+
+        return np.asarray(jax.vmap(one)(jnp.asarray(combos)))
+
+    p0 = node_probs(states["n0"], hero_combos, 0)
+    p1 = node_probs(states["n1"], villain_combos, 1)
+    p2 = node_probs(states["n2"], hero_combos, 0)
+    p3 = node_probs(states["n3"], villain_combos, 1)
+    p4 = node_probs(states["n4"], hero_combos, 0)
+
+    def free_map(p):      # {check, bet}
+        return np.stack([p[:, 1], p[:, 2] + p[:, 3]], axis=1)
+
+    def owed2_map(p):     # {fold, call(+raise mass)}
+        return np.stack([p[:, 0], p[:, 1] + p[:, 2] + p[:, 3]], axis=1)
+
+    def owed3_map(p):     # {fold, call, raise}
+        return np.stack([p[:, 0], p[:, 1], p[:, 2] + p[:, 3]], axis=1)
+
+    return RiverStrategy(
+        s0=jnp.asarray(free_map(p0)), s1=jnp.asarray(free_map(p1)),
+        s2=jnp.asarray(owed2_map(p2)), s3=jnp.asarray(owed3_map(p3)),
+        s4=jnp.asarray(owed2_map(p4)))

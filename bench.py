@@ -158,6 +158,32 @@ def _run_selfplay(n_tables=1 << 20, n_steps=128):
     return hands / best
 
 
+def _run_net_axis(tables=1 << 18, steps=512, train_tables=1 << 14,
+                  train_steps=256, pop=16):
+    """The AI-testing axis (VERDICT r3 #3): net-eval hands/s at
+    production grid and end-to-end ES-generation training hands/s on the
+    population-batched kernel (one launch per generation). Initial-state
+    packing stays outside the timed region; meters force the host
+    round-trip (tunnel sync)."""
+    from montecarlo_tpu.engine.state import TableConfig
+    from montecarlo_tpu.models.policy_net import load_params
+    from scripts.bench_net_throughput import (
+        bench_es_generation, bench_net_eval,
+    )
+
+    cfg = TableConfig(num_seats=6, rules="standard")
+    params = load_params("data/policy_6max_es3.npz")
+    out = {}
+    r = bench_net_eval(cfg, params, tables, steps, reps=2)
+    out["net_eval_hands_per_sec"] = r["net_eval_hands_per_sec"]
+    out["net_eval_tables"] = tables
+    r = bench_es_generation(cfg, params, train_tables, train_steps,
+                            pop=pop, reps=2)
+    out["train_hands_per_sec"] = r["train_hands_per_sec"]
+    out["train_pop"] = r["train_pop"]
+    return out
+
+
 def main():
     hero = jnp.array([make_card(0, 14), make_card(0, 13)], jnp.int32)    # AKs
     villain = jnp.array([make_card(1, 12), make_card(2, 12)], jnp.int32)  # QQ
@@ -192,6 +218,13 @@ def main():
               file=sys.stderr)
         sweep = {}
 
+    try:
+        net_axis = _run_net_axis()
+    except Exception as e:  # non-TPU: the net kernel needs Mosaic PRNG
+        print(f"net axis unavailable ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        net_axis = {}
+
     rate = n / best
     print(json.dumps({
         "device": str(jax.devices()[0]),
@@ -208,6 +241,7 @@ def main():
     }
     out.update(betting)
     out.update(sweep)
+    out.update(net_axis)
     print(json.dumps(out))
 
 

@@ -266,17 +266,19 @@ def kernel_league_eval_pop_fn(cfg, opponent, n_tables: int = 1 << 14,
 def kernel_pool_eval_pop_fn(cfg, opponents, n_tables: int = 1 << 14,
                             n_steps: int = 256, seat: int = 0):
     """Opponent-POOL fitness: mean over pool members of the candidate's
-    seat-``seat`` bb/hand. ``opponents`` entries are either ``None``
-    (PRNG random opponents — the plain net-eval pop kernel) or an
-    ``MLPParams`` opponent (banked league pop kernel; rule bots from
-    ``models/bots.py`` slot in here as nets).
+    bb/hand. ``opponents`` entries are ``None`` (PRNG random opponents —
+    the plain net-eval pop kernel), an ``MLPParams`` opponent (banked
+    league pop kernel; rule bots from ``models/bots.py`` slot in here as
+    nets), or a ``(params_or_None, geometry)`` tuple where geometry is
 
-    Motivation (PERF.md): vs-random edges don't transfer to net-vs-net
-    play, single-net league fitness plateaus at ~0, and the
-    static-exploitability probe showed a loose jam RULE extracts
-    ~0.63 bb/hand from vs-random-trained artifacts. Averaging fitness
-    over {trained net, exploiter bots, random} attacks the measured
-    weakness while anchoring the vs-random and self-play components.
+    - ``"five"`` (default): the candidate sits ALONE at ``seat`` against
+      P-1 copies of the opponent — fitness = candidate's seat bb/hand;
+    - ``"lone"``: the OPPONENT sits alone at ``seat`` against P-1 copies
+      of the candidate — fitness = mean over the candidate's seats.
+
+    Round 3 measured the two geometries differing by 0.7 bb/hand on the
+    jam matchup (training five-vs-one closed only the five-vs-one hole);
+    pooling both makes the fitness see the seating the probe measures.
 
     One launch per (generation, pool member); all members share the
     per-seed initial state, so every member plays the same decks and
@@ -289,8 +291,7 @@ def kernel_pool_eval_pop_fn(cfg, opponents, n_tables: int = 1 << 14,
     )
 
     assert len(opponents) >= 1
-    stb = tuple(0 if k == seat else 1 for k in range(cfg.num_seats))
-    net_seats = 1 << seat
+    P = cfg.num_seats
     cache = {}
 
     def eval_pop(params_list, eval_seed: int):
@@ -300,17 +301,24 @@ def kernel_pool_eval_pop_fn(cfg, opponents, n_tables: int = 1 << 14,
                                                     n_tables)
         s0 = cache[eval_seed]
         tot, hands_sum = None, 0
-        for opp in opponents:
+        for entry in opponents:
+            opp, geom = entry if isinstance(entry, tuple) \
+                else (entry, "five")
+            cand_seats = ([seat] if geom == "five"
+                          else [k for k in range(P) if k != seat])
             if opp is None:
+                net_seats = sum(1 << k for k in cand_seats)
                 m, _, h = selfplay_net_eval_pop(
                     eval_seed, cfg, params_list, net_seats=net_seats,
                     n_tables=n_tables, n_steps=n_steps, state0=s0)
             else:
+                stb = tuple(0 if k in cand_seats else 1
+                            for k in range(P))
                 m, _, h = selfplay_net_league_pop(
                     eval_seed, cfg, params_list, opp,
                     n_tables=n_tables, n_steps=n_steps,
                     seat_to_bank=stb, state0=s0)
-            f = np.asarray(m)[:, seat]
+            f = np.asarray(m)[:, cand_seats].mean(axis=1)
             tot = f if tot is None else tot + f
             hands_sum += int(np.sum(h))
         return tot / len(opponents), hands_sum

@@ -28,6 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+if os.environ.get("FORCE_CPU"):
+    # sitecustomize force-registers the axon TPU backend, which wins over
+    # JAX_PLATFORMS; only jax.config overrides it (CLAUDE.md). This
+    # script is [1081,1081]-matmul CPU work — keep the chip free.
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 from montecarlo_tpu.cards import make_card  # noqa: E402

@@ -71,6 +71,8 @@ def main():
     ap.add_argument("--per-candidate", action="store_true",
                     help="one launch per candidate (the pre-pop-batched "
                          "path; default is one launch per generation)")
+    ap.add_argument("--seats", type=int, default=6,
+                    help="table size (2 = heads-up hardening runs)")
     ap.add_argument("--resume", action="store_true",
                     help="continue from <save>.ckpt.npz/<save>."
                          "progress.json if present (the device tunnel "
@@ -79,7 +81,7 @@ def main():
                          "generations are lost per death)")
     args = ap.parse_args()
 
-    cfg = TableConfig(num_seats=6, rules="standard")
+    cfg = TableConfig(num_seats=args.seats, rules="standard")
 
     # Durable progress: when --save is set, every center eval also
     # persists (a) the current center to <save>.ckpt.npz, (b) attempt
@@ -111,19 +113,26 @@ def main():
             json.dump(prog, f)
 
     def resolve_opponent(spec):
+        # "NAME@lone" = the opponent sits ALONE at seat 0 against P-1
+        # candidate copies (the probe's one-vs-five geometry — round 3
+        # measured it differing from five-vs-one by 0.7 bb on the jam
+        # matchup). Default geometry: candidate alone at seat 0.
+        geom = "five"
+        if spec.endswith("@lone"):
+            spec, geom = spec[:-5], "lone"
         if spec == "random":
-            return None
+            return spec, None, geom
         if spec.startswith("bot:"):
             from montecarlo_tpu.models.bots import panel
-            return panel()[spec[4:]]
-        return load_params(spec)
+            return spec, panel()[spec[4:]], geom
+        return spec, load_params(spec), geom
 
-    pool = ([(s, resolve_opponent(s))
+    pool = ([resolve_opponent(s)
              for s in args.opponents.split(",") if s]
             if args.opponents else [])
     if pool:
         eval_kw = {"eval_pop_fn": kernel_pool_eval_pop_fn(
-            cfg, [p for _, p in pool], n_tables=args.tables,
+            cfg, [(p, g) for _, p, g in pool], n_tables=args.tables,
             n_steps=args.steps)}
     elif args.per_candidate:
         eval_kw = {"eval_fn": kernel_eval_fn(
@@ -158,24 +167,32 @@ def main():
     # shapes as the final evals below, so no extra kernel compiles.
     HOLDOUT = 777
 
-    def eval_vs(p, opp, seed, n_tables=1 << 16):
-        """Seat-0 (bb/hand, stderr, hands) of net ``p`` vs one opponent
-        spec (None = random seats)."""
+    def eval_vs(p, opp, seed, n_tables=1 << 16, geom="five"):
+        """(bb/hand, stderr, hands) of net ``p`` vs one opponent spec
+        (None = random seats). geom="five": p alone at seat 0 vs P-1
+        opponents; "lone": the opponent alone at seat 0 vs P-1 copies
+        of p (fitness = mean over p's seats; stderr = seat mean)."""
+        P = cfg.num_seats
+        cand_seats = [0] if geom == "five" else list(range(1, P))
         if opp is None:
+            net_seats = sum(1 << k for k in cand_seats)
             m, e, h = selfplay_net_eval_kernel(
-                seed, cfg, p, net_seats=1, n_tables=n_tables,
+                seed, cfg, p, net_seats=net_seats, n_tables=n_tables,
                 n_steps=256)
         else:
-            stb = (0,) + (1,) * (cfg.num_seats - 1)
+            stb = tuple(0 if k in cand_seats else 1 for k in range(P))
             m, e, h = selfplay_net_league(
                 seed, cfg, [p, opp], stb, n_tables=n_tables,
                 n_steps=256)
-        return float(m[0]), float(e[0]), int(h)
+        import numpy as _np
+        return (float(_np.mean(m[cand_seats])),
+                float(_np.mean(e[cand_seats])), int(h))
 
     def center_eval(p):
         if pool:
-            per = {name: eval_vs(p, opp, HOLDOUT)[0]
-                   for name, opp in pool}
+            per = {f"{name}@{geom}" if geom != "five" else name:
+                   eval_vs(p, opp, HOLDOUT, geom=geom)[0]
+                   for name, opp, geom in pool}
             mean = sum(per.values()) / len(per)
             print(json.dumps({"center_bb": round(mean, 4),
                               **{f"center_{n}": round(v, 4)
@@ -216,10 +233,11 @@ def main():
     for name, p in (("start", params0), ("es", es_params)):
         if pool:
             rows = {}
-            for oname, opp in pool:
-                bb, se, h = eval_vs(p, opp, 991)
-                rows[oname] = {"bb": round(bb, 4),
-                               "stderr": round(se, 4), "hands": h}
+            for oname, opp, geom in pool:
+                bb, se, h = eval_vs(p, opp, 991, geom=geom)
+                key = f"{oname}@{geom}" if geom != "five" else oname
+                rows[key] = {"bb": round(bb, 4),
+                             "stderr": round(se, 4), "hands": h}
             mean = sum(r["bb"] for r in rows.values()) / len(rows)
             print(json.dumps({"final_eval": name,
                               "pool_mean_bb": round(mean, 4),

@@ -209,3 +209,39 @@ def test_engine_terminal_payoffs_match_solver_model(w_case):
         expect = u(name) - cfg.big_blind
         assert delta == int(expect), (
             f"line {name}: engine delta {delta} != model {expect}")
+
+
+def test_net_river_strategy_extraction_matches_bot_rules():
+    """The net-strategy extraction path (river_node_states +
+    net_river_strategy) runs packed rule bots through the real
+    feature/logit pipeline; their known decision rules pin the mapping:
+    fof_call facing the bet at n2 calls exactly the combos whose
+    made-hand category is pair-or-better, and folds the rest."""
+    from montecarlo_tpu.models.bots import panel
+    from montecarlo_tpu.models.river_solver import (
+        all_combos, net_river_strategy, river_node_states,
+    )
+    from montecarlo_tpu.ops.evaluator import (
+        eval_masks_impl, suit_masks_from_cards,
+    )
+    from montecarlo_tpu.handval import CAT_SHIFT
+
+    board = _board()
+    states, _ = river_node_states(board)
+    combos = all_combos(board)[:200]
+    bot = panel()["fof_call"]
+    strat = net_river_strategy(bot, states, combos, combos)
+
+    cards = np.concatenate(
+        [combos, np.broadcast_to(board[None], (len(combos), 5))], axis=1)
+    keys = np.asarray(jax.vmap(
+        lambda c: eval_masks_impl(*suit_masks_from_cards(c)))(
+            jnp.asarray(cards))).astype(np.uint32)
+    has_pair = (keys >> CAT_SHIFT) >= 1
+
+    s2 = np.asarray(strat.s2)  # facing the check-bet: fold/call
+    assert np.all(s2[has_pair, 1] > 0.99), "pair+ must call"
+    assert np.all(s2[~has_pair, 0] > 0.99), "no pair must fold"
+    # at the free root the bot checks (hi=call when s>t maps to check)
+    s0 = np.asarray(strat.s0)
+    assert np.all(s0[:, 0] > 0.99), "fof_call never bets the root"

@@ -357,6 +357,102 @@ def check_net_kernels() -> int:
     return failures
 
 
+def check_net_det() -> int:
+    """Deterministic NET kernel on hardware: compiled Mosaic vs the XLA
+    net pipeline on the SAME device. Rule-bot banks (rectified-pair
+    constructions survive bf16 matmul-input rounding by design —
+    models/bots.py) play argmax on injected deals; trajectories must be
+    exact. The CPU suite pins interpret mode == XLA; this pins the
+    Mosaic lowering of the banked-MLP det path (dryrun item 7's shape).
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.engine.state import init_state, redeal
+    from montecarlo_tpu.engine.step import (
+        _select_tree, clamp_action, head_info, step_table,
+    )
+    from montecarlo_tpu.engine.street import bets_needed
+    from montecarlo_tpu.models.bots import panel
+    from montecarlo_tpu.models.features import state_features
+    from montecarlo_tpu.models.policy_net import (
+        action_from_index, policy_logits,
+    )
+    from montecarlo_tpu.ops import pallas_engine as pe
+    from tests.test_pallas_engine import (
+        N_CARDS, P, T, _decks_from_cards, make_cfg,
+    )
+
+    cfg = make_cfg("standard")
+    rng = np.random.default_rng(97)
+    n_steps, hmax = 24, 16
+    cards = np.argsort(rng.random((T, hmax, 52)),
+                       axis=-1)[..., :N_CARDS].astype(np.int32)
+    decks = _decks_from_cards(cards)
+    bots = panel()
+    banks = [bots["jam_tight"], bots["fof_call"]]
+    stb = (0,) + (1,) * (P - 1)
+    bots_by_seat = [banks[b] for b in stb]
+
+    packed = pe.pack_state(cfg, cards[:, 0])
+    cards_in = jnp.asarray(
+        cards.transpose(1, 2, 0).reshape(hmax, N_CARDS, *pe.TILE)[None])
+    weights = pe._stack_weights_league(banks)
+    out = np.asarray(pe.run_net_det(
+        packed, cards_in, weights, P, n_steps, cfg.small_blind,
+        cfg.big_blind, cfg.starting_stack, cfg.rules, n_banks=2,
+        seat_to_bank=stb, jit=True))
+
+    def one(table_decks):
+        st = init_state(jax.random.key(0), cfg)
+        st = redeal(st, table_decks[0])
+
+        def body(carry, _):
+            st, done_ct = carry
+            prev = st.hand_idx
+            pos, _, _ = head_info(st)
+            seat = (st.button + pos) % P
+            feats = state_features(st)
+            la = jnp.stack([policy_logits(b, feats)
+                            for b in bots_by_seat])
+            logits = jnp.sum(jnp.where(jnp.arange(P)[:, None] == seat,
+                                       la, 0.0), axis=0)
+            free = bets_needed(st.bets, pos) == 0
+            logits = logits.at[0].add(jnp.where(free, -1e9, 0.0))
+            a = action_from_index(jnp.argmax(logits), st)
+            nxt = step_table(st, clamp_action(st, a), rules=cfg.rules)
+            done_ct = done_ct + (nxt.hand_idx != prev)
+            redealt = redeal(nxt, table_decks[jnp.minimum(
+                nxt.hand_idx, hmax - 1)])
+            nxt = _select_tree(nxt.hand_idx != prev, redealt, nxt)
+            return (nxt, done_ct), None
+
+        (st, done_ct), _ = jax.lax.scan(
+            body, (st, jnp.zeros((), jnp.int32)), None, length=n_steps)
+        return st, done_ct
+
+    ref, ref_done = jax.vmap(one)(jnp.asarray(decks))
+    clean = np.asarray(pe.unpack_field(jnp.asarray(out), cfg,
+                                       "overflow")) == 0
+
+    def col(name, i=0):
+        return np.asarray(pe.unpack_field(jnp.asarray(out), cfg, name, i))
+
+    ok = clean.mean() > 0.95
+    n_match = int(np.sum((col("hand_ct") == np.asarray(ref_done))
+                         & clean))
+    ok &= np.array_equal(col("hand_ct")[clean],
+                         np.asarray(ref_done)[clean])
+    for k in range(P):
+        ok &= np.array_equal(col("stacks", k)[clean],
+                             np.asarray(ref.stacks[:, k])[clean])
+    print(f"net kernel det-mode (Mosaic) vs XLA net pipeline: "
+          f"{n_match}/{int(clean.sum())} clean tables exact "
+          f"[{'ok' if ok else 'FAIL'}]")
+    return 0 if ok else 1
+
+
 def main() -> int:
     import argparse
 
@@ -369,10 +465,11 @@ def main() -> int:
 
     failures = 0
     if args.only == "net":
-        return 1 if check_net_kernels() else 0
+        return 1 if (check_net_kernels() + check_net_det()) else 0
     if args.only != "equity":
         failures += check_engine_kernel()
         failures += check_net_kernels()
+        failures += check_net_det()
     if args.only == "engine":
         return 1 if failures else 0
 

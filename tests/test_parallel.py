@@ -76,9 +76,19 @@ def test_graft_entry_dryrun_fresh_subprocess():
     import subprocess
     import sys
 
+    import pytest
+
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES")}
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # The default backend is the tunneled axon TPU; when the tunnel is
+    # down, `jax.devices()` hangs forever, which is an environment
+    # outage, not an entry bug. Probe it with a short budget and skip.
+    try:
+        subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                       cwd=repo, env=env, capture_output=True, timeout=120)
+    except subprocess.TimeoutExpired:
+        pytest.skip("default jax backend (axon tunnel) is unreachable")
     proc = subprocess.run(
         [sys.executable, "-c",
          "import jax; jax.devices();"  # force default-backend init first

@@ -274,7 +274,9 @@ def kernel_pool_eval_pop_fn(cfg, opponents, n_tables: int = 1 << 14,
     - ``"five"`` (default): the candidate sits ALONE at ``seat`` against
       P-1 copies of the opponent — fitness = candidate's seat bb/hand;
     - ``"lone"``: the OPPONENT sits alone at ``seat`` against P-1 copies
-      of the candidate — fitness = mean over the candidate's seats.
+      of the candidate — fitness = SUM over the candidate's seats
+      (= minus the opponent's bb/hand under exact conservation, the
+      same scale as the probe's extraction number).
 
     Round 3 measured the two geometries differing by 0.7 bb/hand on the
     jam matchup (training five-vs-one closed only the five-vs-one hole);
@@ -318,7 +320,14 @@ def kernel_pool_eval_pop_fn(cfg, opponents, n_tables: int = 1 << 14,
                     eval_seed, cfg, params_list, opp,
                     n_tables=n_tables, n_steps=n_steps,
                     seat_to_bank=stb, state0=s0)
-            f = np.asarray(m)[:, cand_seats].mean(axis=1)
+            vals = np.asarray(m)[:, cand_seats]
+            # "lone": the candidate's seat SUM = exactly -(opponent's
+            # bb/hand) under exact conservation — same scale as the
+            # probe's extraction number and as the "five" components.
+            # The seat MEAN would enter the pool average at 1/(P-1) the
+            # magnitude, underweighting the very holes the probe
+            # measures.
+            f = vals.sum(axis=1) if geom == "lone" else vals.mean(axis=1)
             tot = f if tot is None else tot + f
             hands_sum += int(np.sum(h))
         return tot / len(opponents), hands_sum

@@ -171,7 +171,11 @@ def main():
         """(bb/hand, stderr, hands) of net ``p`` vs one opponent spec
         (None = random seats). geom="five": p alone at seat 0 vs P-1
         opponents; "lone": the opponent alone at seat 0 vs P-1 copies
-        of p (fitness = mean over p's seats; stderr = seat mean)."""
+        of p — reported as the SUM over p's seats (= minus the
+        opponent's extraction under exact conservation; same scale as
+        the fitness and the probe, so holdout selection matches what
+        training optimizes). stderr for "lone" is the conservative
+        fully-correlated bound (sum of per-seat stderrs)."""
         P = cfg.num_seats
         cand_seats = [0] if geom == "five" else list(range(1, P))
         if opp is None:
@@ -185,8 +189,9 @@ def main():
                 seed, cfg, [p, opp], stb, n_tables=n_tables,
                 n_steps=256)
         import numpy as _np
-        return (float(_np.mean(m[cand_seats])),
-                float(_np.mean(e[cand_seats])), int(h))
+        red = _np.sum if geom == "lone" else _np.mean
+        return (float(red(m[cand_seats])),
+                float(red(e[cand_seats])), int(h))
 
     def center_eval(p):
         if pool:

@@ -304,8 +304,13 @@ def kernel_pool_eval_pop_fn(cfg, opponents, n_tables: int = 1 << 14,
         s0 = cache[eval_seed]
         tot, hands_sum = None, 0
         for entry in opponents:
-            opp, geom = entry if isinstance(entry, tuple) \
-                else (entry, "five")
+            # MLPParams is a NamedTuple (tuple subclass): only a plain
+            # 2-tuple ending in a geometry string is (opp, geom).
+            if (type(entry) is tuple and len(entry) == 2
+                    and isinstance(entry[1], str)):
+                opp, geom = entry
+            else:
+                opp, geom = entry, "five"
             cand_seats = ([seat] if geom == "five"
                           else [k for k in range(P) if k != seat])
             if opp is None:

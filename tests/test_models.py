@@ -524,6 +524,47 @@ def test_pool_eval_pop_fn_averages_over_opponents(monkeypatch):
     assert all(s is token for _, s in calls)  # shared state0
 
 
+def test_pool_eval_pop_fn_lone_geometry_sums_candidate_seats(monkeypatch):
+    """'lone' pool components: the opponent sits alone at ``seat`` and
+    fitness is the SUM over the candidate's P-1 seats (= minus the
+    opponent's extraction under conservation — the probe's scale), not
+    the mean (which would enter the pool average at 1/(P-1) magnitude).
+    Also pins that a bare MLPParams opponent (a NamedTuple, hence a
+    tuple subclass) is NOT mistaken for an (opp, geometry) pair."""
+    from montecarlo_tpu.models import train_es as te
+    from montecarlo_tpu.models.bots import action_bot
+    from montecarlo_tpu.ops import pallas_engine as pe
+
+    stbs = []
+    per_seat = np.arange(6) * 0.1  # seat k pays k/10 bb
+
+    def fake_initial(seed, cfg, n_tables):
+        return object()
+
+    def fake_league_pop(seed, cfg, cands, opp, n_tables, n_steps,
+                        seat_to_bank, state0):
+        stbs.append(seat_to_bank)
+        m = np.tile(per_seat, (len(cands), 1))
+        return m, None, np.full(len(cands), 50)
+
+    monkeypatch.setattr(pe, "initial_packed_state", fake_initial)
+    monkeypatch.setattr(pe, "selfplay_net_league_pop", fake_league_pop)
+
+    cfg = TableConfig(num_seats=6, rules="standard")
+    bot = action_bot(1)
+    f = te.kernel_pool_eval_pop_fn(cfg, [(bot, "lone"), bot],
+                                   n_tables=64, n_steps=8)
+    cands = [init_params(jax.random.key(i)) for i in range(3)]
+    fits, hands = f(cands, eval_seed=7)
+
+    lone = per_seat[1:].sum()   # candidate occupies seats 1..5
+    five = per_seat[0]          # bare entry: candidate alone at seat 0
+    np.testing.assert_allclose(np.asarray(fits), (lone + five) / 2)
+    assert hands == 3 * 50 * 2
+    # lone: opponent (bank 1) holds seat 0; five: candidate holds seat 0
+    assert stbs == [(1, 0, 0, 0, 0, 0), (0, 1, 1, 1, 1, 1)]
+
+
 def test_es_checkpoint_fn_cadence_and_payload():
     """checkpoint_fn fires with center evals (every center_eval_every
     plus the last generation) and carries the best-by-holdout params and

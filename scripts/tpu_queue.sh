@@ -69,14 +69,13 @@ run_job br_es3 10800 python scripts/train_br.py \
        --resume
 
 # 5. es4: opponent-pool ES, BOTH seat geometries in the fitness.
-run_job es4 10800 python scripts/train_es_kernel.py \
-  --opponents data/policy_6max_es3.npz,bot:jam_loose,bot:jam_loose@lone,bot:fof_call,bot:fof_call@lone,bot:jam_tight,random \
-  --start data/policy_6max_es3.npz --save data/policy_6max_es4.npz \
-  --generations 160 --tables 16384 --steps 256 --sigma 0.05 \
+ES4_ARGS=(--opponents data/policy_6max_es3.npz,bot:jam_loose,bot:jam_loose@lone,bot:fof_call,bot:fof_call@lone,bot:jam_tight,random
+  --start data/policy_6max_es3.npz --save data/policy_6max_es4.npz
+  --generations 200 --tables 16384 --steps 256
+  --sigma 0.05 --lr 0.05 --mask w2,b2,w3,b3)
+run_job es4 10800 python scripts/train_es_kernel.py "${ES4_ARGS[@]}" \
   || run_job es4_retry 10800 python scripts/train_es_kernel.py \
-       --opponents data/policy_6max_es3.npz,bot:jam_loose,bot:jam_loose@lone,bot:fof_call,bot:fof_call@lone,bot:jam_tight,random \
-       --start data/policy_6max_es3.npz --save data/policy_6max_es4.npz \
-       --generations 160 --tables 16384 --steps 256 --sigma 0.05 --resume
+       "${ES4_ARGS[@]}" --resume
 
 # 6. Probe es4 (and es3 control) in BOTH geometries.
 run_job probe_es4 7200 python scripts/exploit_probe.py \

@@ -108,6 +108,52 @@ def vector_bot(score_vec, threshold: float, hi: int, lo: int,
     return _params(d)
 
 
+def ladder_bot(score1, t1: float, score2, t2: float,
+               top: int, mid: int, bot: int,
+               slope: float = 4.0, cap: float = 0.25) -> MLPParams:
+    """Three-way decision ladder: play ``top`` when ``score1.feats > t1``,
+    else ``mid`` when ``score2.feats > t2``, else ``bot``.
+
+    The archetype the single-threshold family cannot express: value-raise
+    strong / call medium / fold weak ("ABC" poker). Each rule is a
+    rectified CAPPED ramp built from a relu pair,
+    ``u = relu(slope*(s-t)) - relu(slope*(s-t) - cap)`` = min(relu(.), cap),
+    scaled onto its action logit with separated gains (120/60 over a
+    constant 30 on ``bot``), so rule 1 strictly dominates rule 2 which
+    strictly dominates the fallback once a ramp saturates.
+
+    bf16 safety (see module docstring): the ramps saturate at ``cap`` =
+    0.25 and the pre-cap hidden values stay O(1) for feature-scale
+    scores, so matmul-input rounding (~0.4% relative) perturbs logits by
+    <<  the 30+ logit margins. The transition band has width cap/slope
+    (~1/16 in score units, about two rank steps of feature 16/17) where
+    the bot plays a mix — a valid fixed strategy for a lower-bound probe,
+    same caveat as ``vector_bot``'s band.
+    """
+    acts = (top, mid, bot)
+    assert len(set(acts)) == 3 and all(0 <= a < NUM_ACTIONS for a in acts)
+    d = _zeros()
+    for k, (vec, t) in enumerate(((score1, t1), (score2, t2))):
+        v = np.zeros((NUM_FEATURES,), np.float32)
+        items = vec.items() if isinstance(vec, dict) else enumerate(vec)
+        for i, w in items:
+            v[int(i)] = w
+        d["w1"][:, 2 * k] = slope * v
+        d["w1"][:, 2 * k + 1] = slope * v
+        d["b1"][2 * k] = -slope * t
+        d["b1"][2 * k + 1] = -slope * t - cap
+    for k in range(4):
+        d["w2"][k, k] = 1.0
+    for k, (act, gain) in enumerate(((top, 120.0), (mid, 60.0))):
+        d["w3"][2 * k, act] = gain / cap
+        d["w3"][2 * k + 1, act] = -gain / cap
+    d["b3"][:] = -300.0
+    d["b3"][top] = 0.0
+    d["b3"][mid] = 0.0
+    d["b3"][bot] = 30.0
+    return _params(d)
+
+
 def threshold_bot(score: dict[int, float], threshold: float,
                   hi: int, lo: int, gain: float = 200.0) -> MLPParams:
     """Play ``hi`` when ``sum(score[i] * feats[i]) > threshold``, else ``lo``.
@@ -144,4 +190,10 @@ def panel() -> dict[str, MLPParams]:
         # fit-or-fold on made-hand category
         "fof_call": threshold_bot(_MADE, _PAIRPLUS, hi=1, lo=0),
         "fof_raise": threshold_bot(_MADE, _PAIRPLUS, hi=3, lo=1),
+        # three-way ladders (raise strong / call medium / fold weak —
+        # the "ABC" archetype a single threshold cannot express)
+        "nit_ladder": ladder_bot(_HOLE, 1.15, _HOLE, 0.95,
+                                 top=3, mid=1, bot=0),
+        "made_ladder": ladder_bot(_MADE, 3 * _PAIRPLUS, _MADE, _PAIRPLUS,
+                                  top=3, mid=1, bot=0),
     }

@@ -481,6 +481,35 @@ def test_bots_play_full_hands_through_the_engine():
         np.testing.assert_array_equal(sums, np.full_like(sums, 300))
 
 
+def test_ladder_bot_three_way_rule():
+    """ladder_bot: argmax(policy_logits) == (top if s1>t1 else mid if
+    s2>t2 else bot) on synthetic feature grids, away from the documented
+    cap/slope transition bands."""
+    from montecarlo_tpu.models.bots import ladder_bot
+    from montecarlo_tpu.models.features import NUM_FEATURES
+    from montecarlo_tpu.models.policy_net import policy_logits
+
+    rng = np.random.default_rng(3)
+    s1_vec = rng.normal(size=NUM_FEATURES).astype(np.float32)
+    s2_vec = rng.normal(size=NUM_FEATURES).astype(np.float32)
+    t1, t2 = 0.4, -0.2
+    p = ladder_bot(dict(enumerate(s1_vec)), t1,
+                   dict(enumerate(s2_vec)), t2, top=3, mid=1, bot=0)
+
+    band = 0.25 / 4.0  # cap/slope transition width
+    feats = rng.uniform(-1, 1, size=(4096, NUM_FEATURES)) \
+        .astype(np.float32)
+    s1 = feats @ s1_vec
+    s2 = feats @ s2_vec
+    clear = (np.abs(s1 - t1) > band) & (np.abs(s2 - t2) > band)
+    feats, s1, s2 = feats[clear], s1[clear], s2[clear]
+    assert len(feats) > 1000
+    want = np.where(s1 > t1, 3, np.where(s2 > t2, 1, 0))
+    got = np.asarray(jnp.argmax(policy_logits(p, jnp.asarray(feats)),
+                                axis=-1))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pool_eval_pop_fn_averages_over_opponents(monkeypatch):
     """kernel_pool_eval_pop_fn: fitness = mean over pool members, hands
     summed, one shared initial state per eval seed (CRN across members),

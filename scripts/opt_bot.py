@@ -5,11 +5,15 @@ FIXED hand-written bots extract from a trained artifact — a provably
 weak attacker class (league-fitness ES certified es2 "clean" while the
 hand-written jam_loose took +0.63 bb/hand; PERF.md). This script makes
 the attacker ADAPTIVE: CMA-ES (models/cma.py) searches the continuous
-rule family ``vector_bot(score_vec[20], threshold, hi, lo)`` — every
+rule families — ``vector_bot(score_vec[20], threshold, hi, lo)`` (every
 linear decision rule over the policy features, per discrete (hi, lo)
-action pair — maximizing the bot's seat-0 bb/hand against five copies
-of the subject net (the B-bank league kernel's probe geometry, one
-population launch per CMA generation).
+action pair, 21 dims) and ``ladder_bot(score1, t1, score2, t2,
+top, mid, bot)`` (three-way "raise strong / call medium / fold weak"
+ladders, per discrete action triple, 42 dims) — maximizing the bot's
+seat-0 bb/hand against five copies of the subject net (the B-bank
+league kernel's probe geometry, one population launch per CMA
+generation). A ``--pairs`` entry with two fields (``3:0``) selects the
+linear family; three fields (``3:1:0``) selects the ladder family.
 
 Protocol (winner's-curse-safe, per PERF.md): per-generation fitness uses
 a fresh seed (common random numbers across candidates by kernel
@@ -42,7 +46,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np  # noqa: E402
 
 from montecarlo_tpu.engine.state import TableConfig  # noqa: E402
-from montecarlo_tpu.models.bots import vector_bot  # noqa: E402
+from montecarlo_tpu.models.bots import (  # noqa: E402
+    _HOLE, ladder_bot, vector_bot,
+)
 from montecarlo_tpu.models.cma import CMAES  # noqa: E402
 from montecarlo_tpu.models.features import NUM_FEATURES  # noqa: E402
 from montecarlo_tpu.models.policy_net import load_params  # noqa: E402
@@ -55,32 +61,54 @@ FINAL_SEED = 991
 
 # jam_loose's hole-strength score as a warm start for jam-family pairs
 # (models/bots.py _HOLE): indices 16/17 hole ranks, 19 paired, 18 suited.
-_JAM_X0 = np.zeros(NUM_FEATURES + 1)
-_JAM_X0[16] = _JAM_X0[17] = 0.5
-_JAM_X0[19] = 0.35
-_JAM_X0[18] = 0.08
-_JAM_X0[-1] = 0.85  # threshold
+_HOLE_VEC = np.zeros(NUM_FEATURES, np.float32)
+for _i, _w in _HOLE.items():
+    _HOLE_VEC[_i] = _w
+_JAM_X0 = np.concatenate([_HOLE_VEC, [0.85]])  # [score, threshold]
+# nit_ladder-style warm start for ladder triples: hole score for both
+# rules, thresholds 1.15 (top) / 0.95 (mid).
+_LADDER_X0 = np.concatenate([_HOLE_VEC, [1.15], _HOLE_VEC, [0.95]])
 
 
-def make_bot(x, hi, lo):
-    return vector_bot(np.asarray(x[:NUM_FEATURES], np.float32),
-                      float(x[NUM_FEATURES]), hi, lo)
+def spec_dim(acts) -> int:
+    """Search-space dimension: linear pair 21, ladder triple 42."""
+    return (NUM_FEATURES + 1) * (len(acts) - 1)
 
 
-def optimize_pair(subject, cfg, hi, lo, args, log):
+def make_bot(x, acts):
+    x = np.asarray(x, np.float32)
+    if len(acts) == 2:
+        return vector_bot(x[:NUM_FEATURES], float(x[NUM_FEATURES]),
+                          acts[0], acts[1])
+    k = NUM_FEATURES + 1
+    return ladder_bot(x[:NUM_FEATURES], float(x[NUM_FEATURES]),
+                      x[k:k + NUM_FEATURES], float(x[k + NUM_FEATURES]),
+                      top=acts[0], mid=acts[1], bot=acts[2])
+
+
+def optimize_pair(subject, cfg, acts, args, log):
     P = cfg.num_seats
     stb = (0,) + (1,) * (P - 1)
-    x0 = _JAM_X0 if (hi, lo) == (3, 0) else np.zeros(NUM_FEATURES + 1)
+    pair_tag = ":".join(str(a) for a in acts)
+    # arity term keeps e.g. (3,1) and (3,1,0) on distinct seed streams
+    pair_key = 1000 * len(acts) + sum(13 ** i * a
+                                      for i, a in enumerate(acts))
+    if len(acts) == 3:
+        x0 = _LADDER_X0
+    elif acts == (3, 0):
+        x0 = _JAM_X0
+    else:
+        x0 = np.zeros(spec_dim(acts))
     bound = 3.0
     es = CMAES(x0, sigma0=args.sigma0, popsize=args.popsize,
-               seed=args.seed + 13 * hi + lo,
-               lower=np.full(NUM_FEATURES + 1, -bound),
-               upper=np.full(NUM_FEATURES + 1, bound))
+               seed=args.seed + pair_key,
+               lower=np.full(spec_dim(acts), -bound),
+               upper=np.full(spec_dim(acts), bound))
     holdout_state = initial_packed_state(HOLDOUT, cfg, args.eval_tables)
 
     def holdout_eval(x):
         m, e, _ = selfplay_net_league(
-            HOLDOUT, cfg, [make_bot(x, hi, lo), subject], stb,
+            HOLDOUT, cfg, [make_bot(x, acts), subject], stb,
             n_tables=args.eval_tables, n_steps=args.eval_steps,
             state0=holdout_state)
         return float(m[0]), float(e[0])
@@ -88,10 +116,10 @@ def optimize_pair(subject, cfg, hi, lo, args, log):
     best_x, best_hold = x0, -np.inf
     t0 = time.perf_counter()
     for g in range(args.generations):
-        seed_g = args.seed * 1_000_003 + 7919 * (13 * hi + lo) + g
+        seed_g = args.seed * 1_000_003 + 7919 * pair_key + g
         state0 = initial_packed_state(seed_g, cfg, args.tables)
         xs = es.ask()
-        bots = [make_bot(x, hi, lo) for x in xs]
+        bots = [make_bot(x, acts) for x in xs]
         m, _, _ = selfplay_net_league_pop(
             seed_g, cfg, bots, subject, n_tables=args.tables,
             n_steps=args.steps, seat_to_bank=stb, state0=state0)
@@ -102,14 +130,14 @@ def optimize_pair(subject, cfg, hi, lo, args, log):
             hb, he = holdout_eval(es.mean)
             if hb > best_hold:
                 best_hold, best_x = hb, es.mean.copy()
-            log({"pair": f"{hi}:{lo}", "gen": g,
+            log({"pair": pair_tag, "gen": g,
                  "gen_best_bb": round(float(fits.max()), 4),
                  "gen_mean_bb": round(float(fits.mean()), 4),
                  "holdout_mean_bb": round(hb, 4),
                  "cma_sigma": round(es.sigma, 4),
                  "elapsed_s": round(time.perf_counter() - t0, 1)})
         else:
-            log({"pair": f"{hi}:{lo}", "gen": g,
+            log({"pair": pair_tag, "gen": g,
                  "gen_best_bb": round(float(fits.max()), 4),
                  "gen_mean_bb": round(float(fits.mean()), 4),
                  "elapsed_s": round(time.perf_counter() - t0, 1)})
@@ -117,7 +145,7 @@ def optimize_pair(subject, cfg, hi, lo, args, log):
     # honest final: fresh seed, large evaluation, never seen in training
     final_state = initial_packed_state(FINAL_SEED, cfg, args.eval_tables)
     m, e, h = selfplay_net_league(
-        FINAL_SEED, cfg, [make_bot(best_x, hi, lo), subject], stb,
+        FINAL_SEED, cfg, [make_bot(best_x, acts), subject], stb,
         n_tables=args.eval_tables, n_steps=args.eval_steps,
         state0=final_state)
     return {"bot_bb_per_hand": round(float(m[0]), 4),
@@ -130,8 +158,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--subjects", nargs="+", default=[
         "es3=data/policy_6max_es3.npz"], help="name=artifact.npz")
-    ap.add_argument("--pairs", default="3:0,3:1,1:0,2:0",
-                    help="comma-separated hi:lo menu-action pairs")
+    # Menu ordered by round-3 extraction (3:0 jam +0.46, 1:0 fof +0.35;
+    # 2:0/3:1 were noise-level) so a queue timeout loses the weakest
+    # searches; the 3:1:0 ladder triple is the widened attacker class.
+    ap.add_argument("--pairs", default="3:0,1:0,3:1:0,3:1",
+                    help="comma-separated action specs: hi:lo (linear "
+                         "family) or top:mid:bot (ladder family)")
     ap.add_argument("--generations", type=int, default=50)
     ap.add_argument("--popsize", type=int, default=24)
     ap.add_argument("--sigma0", type=float, default=0.5)
@@ -155,28 +187,31 @@ def main():
     out = {"tables": args.tables, "steps": args.steps,
            "generations": args.generations, "popsize": args.popsize,
            "seats": args.seats, "rules": cfg.rules, "subjects": {}}
+    def save():
+        if args.save:
+            with open(args.save, "w") as f:
+                json.dump(out, f, indent=1)
+
     for spec in args.subjects:
         name, path = spec.split("=", 1)
         subject = load_params(path)
         rows = {}
-        for hi, lo in pairs:
-            log({"subject": name, "start_pair": f"{hi}:{lo}"})
-            rows[f"{hi}:{lo}"] = optimize_pair(subject, cfg, hi, lo,
-                                               args, log)
-            log({"subject": name, "pair": f"{hi}:{lo}",
-                 **{k: v for k, v in rows[f"{hi}:{lo}"].items()
-                    if k != "x"}})
-        best = max(rows, key=lambda k: rows[k]["bot_bb_per_hand"])
-        out["subjects"][name] = {
-            "artifact": path, "per_pair": rows,
-            "adaptive_bot_lb_bb": rows[best]["bot_bb_per_hand"],
-            "best_pair": best,
-        }
-        log({"subject": name, "best_pair": best,
-             "adaptive_bot_lb_bb": rows[best]["bot_bb_per_hand"]})
-        if args.save:
-            with open(args.save, "w") as f:
-                json.dump(out, f, indent=1)
+        out["subjects"][name] = {"artifact": path, "per_pair": rows}
+        for acts in pairs:
+            tag = ":".join(str(a) for a in acts)
+            log({"subject": name, "start_pair": tag})
+            rows[tag] = optimize_pair(subject, cfg, acts, args, log)
+            log({"subject": name, "pair": tag,
+                 **{k: v for k, v in rows[tag].items() if k != "x"}})
+            best = max(rows, key=lambda k: rows[k]["bot_bb_per_hand"])
+            out["subjects"][name].update(
+                adaptive_bot_lb_bb=rows[best]["bot_bb_per_hand"],
+                best_pair=best)
+            save()  # partial results survive a queue timeout
+        log({"subject": name,
+             "best_pair": out["subjects"][name]["best_pair"],
+             "adaptive_bot_lb_bb":
+                 out["subjects"][name]["adaptive_bot_lb_bb"]})
 
     if args.save:
         print(f"saved {args.save}")

@@ -38,6 +38,24 @@ def test_cma_bounds_respected():
         es.tell(-np.sum(x ** 2, axis=1))
 
 
+def test_opt_bot_family_dispatch():
+    """opt_bot.make_bot routes 2-field specs to vector_bot and 3-field
+    specs to ladder_bot; the ladder warm start reproduces nit_ladder."""
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.models.bots import _HOLE, ladder_bot
+    from montecarlo_tpu.models.policy_net import policy_logits
+    from scripts.opt_bot import _LADDER_X0, make_bot, spec_dim
+
+    assert spec_dim((3, 0)) == 21 and spec_dim((3, 1, 0)) == 42
+    got = make_bot(_LADDER_X0, (3, 1, 0))
+    want = ladder_bot(_HOLE, 1.15, _HOLE, 0.95, top=3, mid=1, bot=0)
+    feats = jnp.asarray(
+        np.random.default_rng(5).random((7, 20)), jnp.float32)
+    assert np.allclose(np.asarray(policy_logits(got, feats)),
+                       np.asarray(policy_logits(want, feats)))
+
+
 def test_cma_noisy_fitness_still_improves():
     rng = np.random.default_rng(0)
     target = np.array([1.0, 2.0, -1.0])

@@ -129,10 +129,29 @@ def ladder_bot(score1, t1: float, score2, t2: float,
     (~1/16 in score units, about two rank steps of feature 16/17) where
     the bot plays a mix — a valid fixed strategy for a lower-bound probe,
     same caveat as ``vector_bot``'s band.
+
+    SAFE INPUT RANGE: the cap subtraction happens at the w3 matmul
+    boundary, whose bf16 input rounding is *absolute* ulp(x) =
+    2^(floor(log2 x) - 8). The pair difference stays accurate only while
+    ulp(slope*(s-t)) <= cap/4, i.e. |slope*(s-t)| <= 32 — beyond that
+    both pair members round together and u collapses toward 0 (the
+    ladder would play ``bot`` on its *strongest* hands). The guard below
+    bounds the worst case conservatively (features |f| <= 2); large
+    searched weights must be pre-normalized — the rule ``s_k > t_k`` is
+    invariant under joint (score, threshold) scaling, which only widens
+    the mixing band (scripts/opt_bot.py:make_bot does this).
     """
     acts = (top, mid, bot)
     assert len(set(acts)) == 3 and all(0 <= a < NUM_ACTIONS for a in acts)
     d = _zeros()
+    for vec, t in ((score1, t1), (score2, t2)):
+        vals = (vec.values() if isinstance(vec, dict) else vec)
+        smax = 2.0 * float(np.sum(np.abs(np.asarray(list(vals),
+                                                    np.float64)))) + abs(t)
+        assert slope * smax <= 32.0 + 1e-6, (
+            f"ladder rule leaves the bf16-safe range "
+            f"(slope*|s-t| bound {slope * smax:.1f} > 32); normalize "
+            f"(score, threshold) jointly first — see docstring")
     for k, (vec, t) in enumerate(((score1, t1), (score2, t2))):
         v = np.zeros((NUM_FEATURES,), np.float32)
         items = vec.items() if isinstance(vec, dict) else enumerate(vec)

@@ -750,8 +750,11 @@ def _make_kernel(P, n_steps, layout, F, mode, sb, bb, hmax=0,
 
         def body(i, st):
             raw = actions_ref[0, i]
-            # hand 0 was dealt at init; hand h reads stash row h.
-            hand_ptr = st["hand_ct"] + 1
+            # hand 0 was dealt at init; hand h reads stash row h,
+            # clamped to the last row like the XLA pipeline's
+            # table_decks[min(hand_idx, hmax-1)] (an exhausted stash
+            # re-deals the final deck instead of zero-filling).
+            hand_ptr = jnp.minimum(st["hand_ct"] + 1, hmax - 1)
             stash = cards_ref[0]  # [hmax, n_cards, 8, 128]
             sel = (jax.lax.broadcasted_iota(I32, (hmax, 1, 1, 1), 0)
                    == hand_ptr[None, None])
@@ -1175,8 +1178,10 @@ def _make_net_kernel(P, n_steps, layout, F, sb, bb, ss, rules,
                 raw = _net_action(st, head, P, sb, bb, w_refs,
                                   banks=banks, seat_to_bank=seat_to_bank,
                                   det=True)
-                # hand 0 was dealt at init; hand h reads stash row h.
-                hand_ptr = st["hand_ct"] + 1
+                # hand 0 was dealt at init; hand h reads stash row
+                # h, clamped to the last row like the XLA pipeline's
+                # table_decks[min(hand_idx, hmax-1)].
+                hand_ptr = jnp.minimum(st["hand_ct"] + 1, hmax - 1)
                 stash = cards_ref[0]  # [hmax, n_cards, 8, 128]
                 sel = (jax.lax.broadcasted_iota(I32, (hmax, 1, 1, 1), 0)
                        == hand_ptr[None, None])

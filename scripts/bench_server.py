@@ -53,32 +53,53 @@ async def run_room(port: int, room: str, n_players: int, n_actions: int,
     for c in clients:
         await send(c, {"type": "join_room", "name": room})
 
-    by_pid = {}
+    by_pid = {c["pid"]: c for c in clients}
 
-    async def read_until_board(c):
-        """Skip card/deal messages; return the next board broadcast."""
+    # Boards are broadcast ONLY to in-hand seats (host.py _broadcast),
+    # and an exact-equality all-in drops a player from in_hand for the
+    # rest of the hand (reference quirk, step.py) — so no fixed client
+    # is guaranteed a copy of any given board. One reader task per
+    # client feeds a shared queue; the drive loop waits for the FIRST
+    # copy of a strictly NEWER board (the public "time" logical clock
+    # advances with every play), which also keeps every socket buffer
+    # drained without blocking on clients the broadcast skipped.
+    q: asyncio.Queue = asyncio.Queue()
+
+    async def reader(c):
         while True:
-            msg = await recv(c)
+            msg = await c["r"].readline()
+            if not msg:
+                return
+            msg = json.loads(msg.decode().rstrip())
             if isinstance(msg, dict) and "play-order" in msg:
-                return msg
+                q.put_nowait((time.perf_counter(), msg))
 
-    # game start: every player gets hole cards + the first board
-    for c in clients:
-        board = await read_until_board(c)
-        by_pid[c["pid"]] = c
+    readers = [asyncio.ensure_future(reader(c)) for c in clients]
+
+    async def next_board(prev):
+        # Later copies of broadcast N can interleave with the first copy
+        # of N+1 across sockets, and the logical clock resets per hand —
+        # so a "new" board is one whose CONTENT differs from the last
+        # seen (stacks/pot/play-order change with every action; copies
+        # of one broadcast are byte-identical).
+        while True:
+            t1, b = await asyncio.wait_for(q.get(), 30.0)
+            if b != prev:
+                return t1, b
+
+    # game start: hole cards + the first board reach every player
+    _, board = await next_board(None)
     head = by_pid[board["play-order"][0]]
 
     for _ in range(n_actions):
         t0 = time.perf_counter()
         await send(head, {"type": "play", "name": room, "amt": 0})
-        board = await read_until_board(head)
-        latencies.append(time.perf_counter() - t0)
-        # drain the other players' copies so buffers stay bounded
-        for c in clients:
-            if c is not head:
-                await read_until_board(c)
+        t1, board = await next_board(board)
+        latencies.append(t1 - t0)
         head = by_pid[board["play-order"][0]]
 
+    for task in readers:
+        task.cancel()
     for c in clients:
         c["w"].close()
 
@@ -128,9 +149,11 @@ def bench_direct(backend: str, actions: int = 2000):
     registry = Registry(backend=backend)
     inboxes = {}
     pids = []
+    seq = iter(range(1 << 62))  # global arrival order across inboxes
     for k in range(3):
         box = []
-        pid = registry.add_player(box.append)
+        pid = registry.add_player(
+            lambda msg, box=box: box.append((next(seq), msg)))
         inboxes[pid] = box
         pids.append(pid)
     registry.dispatch(pids[0], {"type": "new_room", "name": "d", "n": 3})
@@ -138,11 +161,18 @@ def bench_direct(backend: str, actions: int = 2000):
         registry.dispatch(pid, {"type": "join_room", "name": "d"})
 
     def head_pid():
+        # the GLOBALLY newest board: broadcasts skip non-in-hand seats
+        # (all-in quirk), so any fixed player's inbox can be stale
+        newest, newest_seq = None, -1
         for pid in pids:
-            for msg in reversed(inboxes[pid]):
+            for s, msg in reversed(inboxes[pid]):
                 if isinstance(msg, dict) and "play-order" in msg:
-                    return msg["play-order"][0]
-        raise AssertionError("no board broadcast seen")
+                    if s > newest_seq:
+                        newest, newest_seq = msg, s
+                    break
+        if newest is None:
+            raise AssertionError("no board broadcast seen")
+        return newest["play-order"][0]
 
     lat = []
     for _ in range(actions):

@@ -75,14 +75,24 @@ def spec_dim(acts) -> int:
     return (NUM_FEATURES + 1) * (len(acts) - 1)
 
 
+def _norm_rule(v, t):
+    """Scale (score, threshold) jointly into ladder_bot's bf16-safe range
+    (|slope*(s-t)| <= 32 for |features| <= 2 — bots.py docstring). The
+    decision s > t is scale-invariant; only the mixing band widens, and
+    CMA controls the weight scale so it can trade band for range."""
+    c = max(1.0, (2.0 * float(np.abs(v).sum()) + abs(t)) / 4.0)
+    return v / c, t / c
+
+
 def make_bot(x, acts):
     x = np.asarray(x, np.float32)
     if len(acts) == 2:
         return vector_bot(x[:NUM_FEATURES], float(x[NUM_FEATURES]),
                           acts[0], acts[1])
     k = NUM_FEATURES + 1
-    return ladder_bot(x[:NUM_FEATURES], float(x[NUM_FEATURES]),
-                      x[k:k + NUM_FEATURES], float(x[k + NUM_FEATURES]),
+    v1, t1 = _norm_rule(x[:NUM_FEATURES], float(x[NUM_FEATURES]))
+    v2, t2 = _norm_rule(x[k:k + NUM_FEATURES], float(x[k + NUM_FEATURES]))
+    return ladder_bot(v1, t1, v2, t2,
                       top=acts[0], mid=acts[1], bot=acts[2])
 
 

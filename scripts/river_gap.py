@@ -28,11 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if os.environ.get("FORCE_CPU"):
+if not os.environ.get("RIVER_GAP_TPU"):
     # sitecustomize force-registers the axon TPU backend, which wins over
     # JAX_PLATFORMS; only jax.config overrides it (CLAUDE.md). This
-    # script is [1081,1081]-matmul CPU work — keep the chip free.
+    # script is [1081,1081]-matmul CPU work — default to CPU so it never
+    # contends with the one-job-at-a-time TPU queue (opt in via
+    # RIVER_GAP_TPU=1).
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 

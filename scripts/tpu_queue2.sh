@@ -11,14 +11,18 @@ export PYTHONPATH=/root/.axon_site:/root/repo
 mkdir -p logs
 echo "$$" > /tmp/tpu_queue2.pid
 
-# Wait for stage 1 (ONE chip job at a time — CLAUDE.md).
-if [ -f /tmp/tpu_queue.pid ]; then
-  Q1="$(cat /tmp/tpu_queue.pid)"
-  while kill -0 "$Q1" 2>/dev/null; do
-    echo "queue2: waiting for stage 1 (pid $Q1) $(date -u +%H:%M:%S)"
-    sleep 120
-  done
-fi
+# Wait for stage 1 (ONE chip job at a time — CLAUDE.md). Done when its
+# log says ALL DONE, or when no stage-1 process is alive (finished or
+# crashed; either way the chip is free). The process check does not
+# trust /tmp pid files alone (missing/stale/recycled pids race).
+stage1_running() {
+  ps ax -o args= | grep -E '(^|[ /])tpu_queue\.sh( |$)' > /dev/null
+}
+while ! grep -q "queue: ALL DONE" logs/tpu_queue.log 2>/dev/null \
+      && stage1_running; do
+  echo "queue2: waiting for stage 1 $(date -u +%H:%M:%S)"
+  sleep 120
+done
 echo "queue2: stage 1 done $(date -u +%H:%M:%S)"
 
 probe() {

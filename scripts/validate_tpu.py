@@ -366,22 +366,13 @@ def check_net_det() -> int:
     Mosaic lowering of the banked-MLP det path (dryrun item 7's shape).
     """
     import numpy as np
-    import jax
     import jax.numpy as jnp
 
-    from montecarlo_tpu.engine.state import init_state, redeal
-    from montecarlo_tpu.engine.step import (
-        _select_tree, clamp_action, head_info, step_table,
-    )
-    from montecarlo_tpu.engine.street import bets_needed
     from montecarlo_tpu.models.bots import panel
-    from montecarlo_tpu.models.features import state_features
-    from montecarlo_tpu.models.policy_net import (
-        action_from_index, policy_logits,
-    )
     from montecarlo_tpu.ops import pallas_engine as pe
     from tests.test_pallas_engine import (
         N_CARDS, P, T, _decks_from_cards, make_cfg,
+        xla_net_det_reference,
     )
 
     cfg = make_cfg("standard")
@@ -404,35 +395,9 @@ def check_net_det() -> int:
         cfg.big_blind, cfg.starting_stack, cfg.rules, n_banks=2,
         seat_to_bank=stb, jit=True))
 
-    def one(table_decks):
-        st = init_state(jax.random.key(0), cfg)
-        st = redeal(st, table_decks[0])
-
-        def body(carry, _):
-            st, done_ct = carry
-            prev = st.hand_idx
-            pos, _, _ = head_info(st)
-            seat = (st.button + pos) % P
-            feats = state_features(st)
-            la = jnp.stack([policy_logits(b, feats)
-                            for b in bots_by_seat])
-            logits = jnp.sum(jnp.where(jnp.arange(P)[:, None] == seat,
-                                       la, 0.0), axis=0)
-            free = bets_needed(st.bets, pos) == 0
-            logits = logits.at[0].add(jnp.where(free, -1e9, 0.0))
-            a = action_from_index(jnp.argmax(logits), st)
-            nxt = step_table(st, clamp_action(st, a), rules=cfg.rules)
-            done_ct = done_ct + (nxt.hand_idx != prev)
-            redealt = redeal(nxt, table_decks[jnp.minimum(
-                nxt.hand_idx, hmax - 1)])
-            nxt = _select_tree(nxt.hand_idx != prev, redealt, nxt)
-            return (nxt, done_ct), None
-
-        (st, done_ct), _ = jax.lax.scan(
-            body, (st, jnp.zeros((), jnp.int32)), None, length=n_steps)
-        return st, done_ct
-
-    ref, ref_done = jax.vmap(one)(jnp.asarray(decks))
+    # the SAME reference driver the CPU suite pins interpret mode against
+    ref, ref_done = xla_net_det_reference(cfg, bots_by_seat, decks,
+                                          n_steps, hmax)
     clean = np.asarray(pe.unpack_field(jnp.asarray(out), cfg,
                                        "overflow")) == 0
 

@@ -51,9 +51,34 @@ def test_opt_bot_family_dispatch():
     got = make_bot(_LADDER_X0, (3, 1, 0))
     want = ladder_bot(_HOLE, 1.15, _HOLE, 0.95, top=3, mid=1, bot=0)
     feats = jnp.asarray(
-        np.random.default_rng(5).random((7, 20)), jnp.float32)
-    assert np.allclose(np.asarray(policy_logits(got, feats)),
-                       np.asarray(policy_logits(want, feats)))
+        np.random.default_rng(5).random((64, 20)), jnp.float32)
+    # make_bot normalizes (score, t) into the bf16-safe range — the
+    # scaling preserves every decision, not the raw logits
+    assert np.array_equal(
+        np.argmax(np.asarray(policy_logits(got, feats)), axis=-1),
+        np.argmax(np.asarray(policy_logits(want, feats)), axis=-1))
+
+
+def test_opt_bot_norm_rule_keeps_decisions_in_safe_range():
+    """Extreme CMA weights are scaled into ladder_bot's guarded range
+    and the three-way decision boundary is preserved."""
+    from montecarlo_tpu.models.policy_net import policy_logits
+    from scripts.opt_bot import _norm_rule, make_bot
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-3, 3, 42)  # worst-case corner of the CMA box
+    b = make_bot(x, (3, 1, 0))  # must not trip the safe-range assert
+    v, t = _norm_rule(x[:20], float(x[20]))
+    assert 2.0 * np.abs(v).sum() + abs(t) <= 4.0 + 1e-6
+    # joint scaling preserves the rule: sign(v.f - t) matches pre-norm
+    f = rng.random((256, 20))
+    pre = f @ x[:20] - x[20]
+    post = f @ v - t
+    assert np.array_equal(pre > 0, post > 0)
+    # and the packed net plays a valid three-way policy on those feats
+    import jax.numpy as jnp
+    lg = np.asarray(policy_logits(b, jnp.asarray(f, jnp.float32)))
+    assert set(np.unique(np.argmax(lg, axis=-1))) <= {0, 1, 3}
 
 
 def test_cma_noisy_fitness_still_improves():

@@ -490,9 +490,17 @@ def test_ladder_bot_three_way_rule():
     from montecarlo_tpu.models.policy_net import policy_logits
 
     rng = np.random.default_rng(3)
-    s1_vec = rng.normal(size=NUM_FEATURES).astype(np.float32)
-    s2_vec = rng.normal(size=NUM_FEATURES).astype(np.float32)
-    t1, t2 = 0.4, -0.2
+
+    def norm(v, t):
+        # joint (score, threshold) scaling into the guarded bf16-safe
+        # range — the same pre-normalization real callers apply
+        # (scripts/opt_bot.py:_norm_rule); the decision s > t and the
+        # clear-band geometry below scale with it
+        c = max(1.0, (2.0 * float(np.abs(v).sum()) + abs(t)) / 4.0)
+        return (v / c).astype(np.float32), t / c, c
+
+    s1_vec, t1, c1 = norm(rng.normal(size=NUM_FEATURES), 0.4)
+    s2_vec, t2, c2 = norm(rng.normal(size=NUM_FEATURES), -0.2)
     p = ladder_bot(dict(enumerate(s1_vec)), t1,
                    dict(enumerate(s2_vec)), t2, top=3, mid=1, bot=0)
 

@@ -365,45 +365,24 @@ def test_kernel_heads_up():
     assert np.asarray(unpack_field(out, cfg, "hand_ct")).sum() > 0
 
 
-def test_net_kernel_det_matches_xla_net_pipeline():
-    """Deterministic NET kernel (argmax pick, injected deals — zero PRNG,
-    so the ES/league deployment shape executes in interpret mode on CPU)
-    vs the XLA net pipeline: every seat plays a packed rule bot
-    (models/bots.py — huge logit margins, so f32 summation-order ulps
-    cannot flip the argmax), seats map to two banked nets exactly like
-    league evaluation, and the trajectories must agree field-for-field."""
+def xla_net_det_reference(cfg, bots_by_seat, decks, n_steps, hmax):
+    """XLA net-pipeline trajectory driver for det-mode pinning: every
+    seat plays its packed bot by argmax, deals are injected from a
+    per-table deck stash (row min(hand_idx, hmax-1) — the same clamp the
+    det kernels apply). Returns (final vmapped TableState, hands done).
+
+    SHARED between the CPU suite (interpret mode) and
+    scripts/validate_tpu.py's on-hardware Mosaic check so the two pins
+    cannot drift apart.
+    """
     from montecarlo_tpu.engine.street import bets_needed
     from montecarlo_tpu.engine.step import head_info
-    from montecarlo_tpu.models.bots import panel
     from montecarlo_tpu.models.features import state_features
     from montecarlo_tpu.models.policy_net import (
         action_from_index, policy_logits,
     )
-    from montecarlo_tpu.ops import pallas_engine as pe
-    from montecarlo_tpu.ops.pallas_engine import (
-        _stack_weights_league, run_net_det,
-    )
 
-    cfg = make_cfg("standard")
-    rng = np.random.default_rng(43)
-    n_steps, hmax = 32, 16
-    cards = np.argsort(rng.random((T, hmax, 52)),
-                       axis=-1)[..., :N_CARDS].astype(np.int32)
-    decks = _decks_from_cards(cards)
-
-    bots = panel()
-    banks = [bots["jam_tight"], bots["fof_call"]]
-    stb = (0,) + (1,) * (P - 1)  # jam_tight at seat 0, fof_call others
-    bots_by_seat = [banks[b] for b in stb]
-
-    packed = pack_state(cfg, cards[:, 0])
-    cards_in = jnp.asarray(
-        cards.transpose(1, 2, 0).reshape(hmax, N_CARDS, *pe.TILE)[None])
-    weights = _stack_weights_league(banks)
-    out = np.asarray(run_net_det(
-        packed, cards_in, weights, P, n_steps, cfg.small_blind,
-        cfg.big_blind, cfg.starting_stack, cfg.rules, n_banks=2,
-        seat_to_bank=stb, interpret=True))
+    P = cfg.num_seats
 
     def one(table_decks):
         st = init_state(jax.random.key(0), cfg)
@@ -434,7 +413,45 @@ def test_net_kernel_det_matches_xla_net_pipeline():
             body, (st, jnp.zeros((), jnp.int32)), None, length=n_steps)
         return st, done_ct
 
-    ref, ref_done = jax.vmap(one)(jnp.asarray(decks))
+    return jax.vmap(one)(jnp.asarray(decks))
+
+
+def test_net_kernel_det_matches_xla_net_pipeline():
+    """Deterministic NET kernel (argmax pick, injected deals — zero PRNG,
+    so the ES/league deployment shape executes in interpret mode on CPU)
+    vs the XLA net pipeline: every seat plays a packed rule bot
+    (models/bots.py — huge logit margins, so f32 summation-order ulps
+    cannot flip the argmax), seats map to two banked nets exactly like
+    league evaluation, and the trajectories must agree field-for-field."""
+    from montecarlo_tpu.models.bots import panel
+    from montecarlo_tpu.ops import pallas_engine as pe
+    from montecarlo_tpu.ops.pallas_engine import (
+        _stack_weights_league, run_net_det,
+    )
+
+    cfg = make_cfg("standard")
+    rng = np.random.default_rng(43)
+    n_steps, hmax = 32, 16
+    cards = np.argsort(rng.random((T, hmax, 52)),
+                       axis=-1)[..., :N_CARDS].astype(np.int32)
+    decks = _decks_from_cards(cards)
+
+    bots = panel()
+    banks = [bots["jam_tight"], bots["fof_call"]]
+    stb = (0,) + (1,) * (P - 1)  # jam_tight at seat 0, fof_call others
+    bots_by_seat = [banks[b] for b in stb]
+
+    packed = pack_state(cfg, cards[:, 0])
+    cards_in = jnp.asarray(
+        cards.transpose(1, 2, 0).reshape(hmax, N_CARDS, *pe.TILE)[None])
+    weights = _stack_weights_league(banks)
+    out = np.asarray(run_net_det(
+        packed, cards_in, weights, P, n_steps, cfg.small_blind,
+        cfg.big_blind, cfg.starting_stack, cfg.rules, n_banks=2,
+        seat_to_bank=stb, interpret=True))
+
+    ref, ref_done = xla_net_det_reference(cfg, bots_by_seat, decks,
+                                          n_steps, hmax)
 
     clean = np.asarray(unpack_field(out, cfg, "overflow")) == 0
     assert clean.mean() > 0.95

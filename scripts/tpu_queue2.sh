@@ -73,6 +73,20 @@ else
   echo "queue2: es4 artifact missing, skipping optbot_es4"
 fi
 
+# 9b. River Nash-gap for the new artifacts (CPU-only script — no
+#     tunnel needed; run_job's wait_tunnel is skipped via direct call).
+RG_SUBJECTS=()
+[ -f data/policy_6max_es4.npz ] && RG_SUBJECTS+=("es4=data/policy_6max_es4.npz")
+[ -f data/policy_hu_es.npz ] && RG_SUBJECTS+=("hu_es=data/policy_hu_es.npz")
+if [ ${#RG_SUBJECTS[@]} -gt 0 ] \
+    && ! { [ -f logs/q_rivergap_r4.rc ] && [ "$(cat logs/q_rivergap_r4.rc)" = 0 ]; }; then
+  echo "queue2: START rivergap_r4 $(date -u +%H:%M:%S)"
+  timeout 7200 python scripts/river_gap.py --subjects "${RG_SUBJECTS[@]}" \
+    --save data/river_gap_r4.json > logs/q_rivergap_r4.log 2>&1
+  echo "$?" > logs/q_rivergap_r4.rc
+  echo "queue2: DONE rivergap_r4 rc=$(cat logs/q_rivergap_r4.rc)"
+fi
+
 # 10. Compose the honest per-artifact exploitability statement
 #     (host-side JSON merge; tolerant of missing inputs).
 run_job exp_report 600 python scripts/exploitability_report.py \

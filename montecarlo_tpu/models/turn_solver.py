@@ -1,0 +1,676 @@
+"""Exact heads-up TURN+RIVER two-street subgame solver (CFR+).
+
+Extends the river anchor (models/river_solver.py) across a chance node:
+heads-up on a fixed 4-card TURN board, a full betting round, then a
+uniformly dealt river card, then a second betting round. This is the
+repo's first *multi-street* exact solution — the class of ground truth
+the round-3 verdict asked the anchors to grow toward: solver EVs and
+best responses here certify strategies across a street boundary
+(bet/check lines change the river pot, ranges condition on the line,
+and the river strategy is per-card), none of which the one-street
+anchor exercises.
+
+Game definition
+---------------
+Both players hold a combo from the C(48, 2) pairs off the turn board
+(uniform prior over card-removal-consistent (hero, villain, river)
+triples). The turn street uses the river solver's 5-node tree (one bet
+size ``B``, one raise TO ``B + R``):
+
+    P1: check | bet
+      check -> P2: check          -> line "cc"  (river, pot)
+                 bet -> P1: fold                  (P1 nets 0)
+                        call      -> line "xbc" (river, pot + 2B)
+      bet   -> P2: fold                           (P1 nets +pot)
+                 call             -> line "bc"  (river, pot + 2B)
+                 raise -> P1: fold                (P1 nets -B)
+                          call    -> line "brc" (river, pot + 2(B+R))
+
+Each continue line L reaches a river subgame with pot ``pot_L`` and its
+own tree (bet ``B_L = river_bet_frac * pot_L``, raise TO ``B_L + R_L``
+with ``R_L = pot_L + 2 B_L`` — the pot-raise facing a bet, matching the
+policy nets' menu). The chance node is uniform over the rivers valid
+for the (hero, villain) pair. Utilities are P1's net chips from the
+TURN start, so a line's river utilities are the river-game utilities
+(measured from river start) minus the player's turn contribution
+(0 / B / B / B+R) — the game stays constant-sum at ``pot``.
+
+Solver: CFR+ with alternating updates and linear averaging, exactly as
+in river_solver.py, with river infosets indexed [line, river, combo].
+Convergence is certified by ``br1 + br2 - pot``. Everything is
+vectorized over combos ([C, C] mat-ops, MXU-shaped); rivers run under a
+``lax.fori_loop`` so memory stays at one [C, C] panel per step.
+
+Validation reductions (tests/test_turn_solver.py):
+- ``river_betting=False`` collapses every line to a showdown for
+  ``pot_L``: the game is EV-equivalent to a ONE-street game on the
+  chance-averaged equity matrix, solved by river_solver.
+- ``turn_betting=False`` with a single-card river set {r} IS the river
+  subgame on board+[r]: EVs must match river_solver on that board.
+
+Showdowns ride the same certified evaluator key as the engine
+(``hand_evaluator.clj:112-133`` semantics via ``ops/evaluator.py``).
+The reference has no solver machinery; this is rebuild-added
+AI-testing ground truth for its stated purpose ("test AIs",
+/root/reference/README.md:9).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F32 = jnp.float32
+
+LINES = ("cc", "xbc", "bc", "brc")
+
+
+class TurnRiverGame(NamedTuple):
+    keys: jax.Array      # [Rn, C] u32 7-card eval keys per river card
+    has_r: jax.Array     # [Rn, C] f32: combo contains that river card
+    mask0: jax.Array     # [C, C] valid pair indicator (f32; cnt>0 folded in)
+    cnt: jax.Array       # [C, C] f32 number of valid rivers per pair
+    rivers: jax.Array    # [Rn] i32 river card ids
+    pot: float
+    bet: float           # turn bet B
+    raise_: float        # turn raise increment R (raise TO B + R)
+    river_bet_frac: float = 1.0
+    turn_betting: bool = True
+    river_betting: bool = True
+
+    @property
+    def pots_l(self) -> np.ndarray:
+        pot, B, R = self.pot, self.bet, self.raise_
+        return np.array([pot, pot + 2 * B, pot + 2 * B, pot + 2 * (B + R)],
+                        np.float64)
+
+    @property
+    def c1_l(self) -> np.ndarray:
+        """P1 turn contribution per line."""
+        B, R = self.bet, self.raise_
+        return np.array([0.0, B, B, B + R], np.float64)
+
+
+class TurnRiverStrategy(NamedTuple):
+    """Average strategies. Turn nodes [C, A]; river nodes [4, Rn, C, A]
+    (line-major). Rows sum to 1 where live."""
+    t0: jax.Array  # [C, 2] P1 turn root: check / bet
+    t1: jax.Array  # [C, 2] P2 after check: check / bet
+    t2: jax.Array  # [C, 2] P1 after check-bet: fold / call
+    t3: jax.Array  # [C, 3] P2 after bet: fold / call / raise
+    t4: jax.Array  # [C, 2] P1 after bet-raise: fold / call
+    s0: jax.Array  # [4, Rn, C, 2] P1 river root
+    s1: jax.Array  # [4, Rn, C, 2] P2 river after check
+    s2: jax.Array  # [4, Rn, C, 2] P1 river after check-bet
+    s3: jax.Array  # [4, Rn, C, 3] P2 river after bet
+    s4: jax.Array  # [4, Rn, C, 2] P1 river after bet-raise
+
+
+def turn_combos(board4: Sequence[int]) -> np.ndarray:
+    dead = set(int(c) for c in board4)
+    live = [c for c in range(52) if c not in dead]
+    return np.array([(a, b) for i, a in enumerate(live)
+                     for b in live[i + 1:]], np.int32)
+
+
+def make_turn_river_game(board4: Sequence[int],
+                         rivers: Optional[Sequence[int]] = None,
+                         combos: Optional[np.ndarray] = None,
+                         pot: float = 4.0, bet: float = 4.0,
+                         raise_: float = 12.0,
+                         river_bet_frac: float = 1.0,
+                         turn_betting: bool = True,
+                         river_betting: bool = True
+                         ) -> Tuple[TurnRiverGame, np.ndarray]:
+    """Build the two-street game from the certified evaluator.
+
+    ``rivers`` defaults to every card off the turn board (the exact
+    game); a subset defines a smaller exact game (used by tests).
+    Returns (game, combos)."""
+    from montecarlo_tpu.ops.evaluator import (
+        eval_masks_impl, suit_masks_from_cards,
+    )
+
+    board4 = np.asarray(board4, np.int32)
+    assert board4.shape == (4,)
+    dead = set(int(c) for c in board4)
+    if rivers is None:
+        rivers = [c for c in range(52) if c not in dead]
+    rivers = np.asarray(rivers, np.int32)
+    assert not (set(rivers.tolist()) & dead)
+    if combos is None:
+        combos = turn_combos(board4)
+    combos = np.asarray(combos, np.int32)
+    C = len(combos)
+
+    def keys_for_river(r):
+        cards = jnp.concatenate([
+            jnp.asarray(combos),
+            jnp.broadcast_to(jnp.asarray(board4)[None], (C, 4)),
+            jnp.full((C, 1), r, jnp.int32)], axis=1)
+        return jax.vmap(
+            lambda c: eval_masks_impl(*suit_masks_from_cards(c)))(cards)
+
+    keys = np.stack([np.asarray(keys_for_river(int(r)))
+                     for r in rivers]).astype(np.uint32)      # [Rn, C]
+    has_r = ((combos[None, :, 0] == rivers[:, None])
+             | (combos[None, :, 1] == rivers[:, None])).astype(np.float32)
+
+    clash = ((combos[:, None, 0] == combos[None, :, 0])
+             | (combos[:, None, 0] == combos[None, :, 1])
+             | (combos[:, None, 1] == combos[None, :, 0])
+             | (combos[:, None, 1] == combos[None, :, 1]))
+    mask0 = (~clash).astype(np.float32)
+    # valid rivers per pair; pairs with none are dead (single-river games)
+    free = 1.0 - has_r                                        # [Rn, C]
+    cnt = free.T @ free                                       # [C, C]
+    mask0 = mask0 * (cnt > 0)
+    return (TurnRiverGame(jnp.asarray(keys), jnp.asarray(has_r),
+                          jnp.asarray(mask0), jnp.asarray(cnt),
+                          jnp.asarray(rivers), float(pot), float(bet),
+                          float(raise_), float(river_bet_frac),
+                          bool(turn_betting), bool(river_betting)),
+            combos)
+
+
+def _river_sizes(game: TurnRiverGame):
+    """Per-line (pot_L, B_L, R_L) as [4] f32 arrays."""
+    pots = jnp.asarray(game.pots_l, F32)
+    bl = game.river_bet_frac * pots
+    rl = pots + 2.0 * bl  # pot-raise facing the bet
+    return pots, bl, rl
+
+
+def _normalize(r, allow=None):
+    p = jnp.maximum(r, 0.0)
+    if allow is not None:
+        a = jnp.asarray(allow, p.dtype)
+        p = p * a
+        fallback = jnp.broadcast_to(a / jnp.sum(a, -1, keepdims=True),
+                                    p.shape)
+    else:
+        fallback = jnp.full_like(p, 1.0 / p.shape[-1])
+    tot = jnp.sum(p, axis=-1, keepdims=True)
+    return jnp.where(tot > 0, p / jnp.where(tot > 0, tot, 1.0), fallback)
+
+
+def _gates(game: TurnRiverGame):
+    """(turn P1-root gate [2], turn P2 gates [2]/[3], river gates)."""
+    tb = 1.0 if game.turn_betting else 0.0
+    rb = 1.0 if game.river_betting else 0.0
+    return dict(
+        t0=jnp.array([1.0, tb], F32), t1=jnp.array([1.0, tb], F32),
+        t3=jnp.array([1.0, 1.0, tb], F32),
+        s0=jnp.array([1.0, rb], F32), s1=jnp.array([1.0, rb], F32),
+        s3=jnp.array([1.0, 1.0, rb], F32),
+    )
+
+
+def _w_matrix(keys_r):
+    """P1 pot share [C, C] for one river's keys."""
+    return ((keys_r[:, None] > keys_r[None, :]).astype(F32)
+            + 0.5 * (keys_r[:, None] == keys_r[None, :]).astype(F32))
+
+
+def _river_p1_values(m, W, pot, B, R, s1, s2, s3, s4):
+    """River-street P1 action values for ONE (line, river): the river
+    solver's _p1_values with line-vectorized sizes. ``m`` carries
+    mask_r * chance * P2-turn-reach. Shapes: m/W [C, C]; s* [C, A];
+    pot/B/R scalars (per line). Returns (v0, v2, v4) [C, A]."""
+    u_cc = pot * W
+    u_xbc = (pot + 2 * B) * W - B
+    u_brc = (pot + 2 * (B + R)) * W - (B + R)
+    r4 = m * s3[None, :, 2]
+    v4 = jnp.stack([jnp.sum(r4, 1) * (-B), jnp.sum(r4 * u_brc, 1)], 1)
+    r2 = m * s1[None, :, 1]
+    v2 = jnp.stack([jnp.zeros(m.shape[0]), jnp.sum(r2 * u_xbc, 1)], 1)
+    v4_cur = jnp.sum(s4 * v4, axis=1)
+    v2_cur = jnp.sum(s2 * v2, axis=1)
+    v_check = jnp.sum(m * s1[None, :, 0] * u_cc, 1) + v2_cur
+    # bc and xbc have identical payoffs (one bet called either way)
+    v_bet = (jnp.sum(m * s3[None, :, 0], 1) * pot
+             + jnp.sum(m * s3[None, :, 1] * u_xbc, 1)
+             + v4_cur)
+    v0 = jnp.stack([v_check, v_bet], axis=1)
+    return v0, v2, v4
+
+
+def _river_p2_values(m, W, pot, B, R, s0, s2, s4):
+    """River-street P2 action values for ONE (line, river); ``m``
+    carries mask_r * chance * P1-turn-reach. Returns (v1, v3)."""
+    u_cc = pot * W
+    u_xbc = (pot + 2 * B) * W - B
+    u_brc = (pot + 2 * (B + R)) * W - (B + R)
+    r1 = m * s0[:, 0][:, None]
+    v1_check = jnp.sum(r1 * (pot - u_cc), 0)
+    v1_bet = (jnp.sum(r1 * s2[:, 0][:, None], 0) * pot
+              + jnp.sum(r1 * s2[:, 1][:, None] * (pot - u_xbc), 0))
+    v1 = jnp.stack([v1_check, v1_bet], axis=1)
+    r3 = m * s0[:, 1][:, None]
+    v3 = jnp.stack([
+        jnp.zeros(m.shape[1]),
+        jnp.sum(r3 * (pot - u_xbc), 0),   # bc payoff == xbc payoff
+        (jnp.sum(r3 * s4[:, 0][:, None], 0) * (pot + B)
+         + jnp.sum(r3 * s4[:, 1][:, None] * (pot - u_brc), 0)),
+    ], axis=1)
+    return v1, v3
+
+
+def solve_turn_river(game: TurnRiverGame, iterations: int = 1000
+                     ) -> TurnRiverStrategy:
+    """CFR+ (alternating updates, linear averaging) over both streets."""
+    C = game.mask0.shape[0]
+    Rn = game.keys.shape[0]
+    g = _gates(game)
+    pots_l, bl, rl = _river_sizes(game)
+    c1 = jnp.asarray(game.c1_l, F32)          # [4] P1 turn contribution
+    mask0 = game.mask0
+    # chance weight per (river, pair): mask_r / cnt
+    safe_cnt = jnp.where(game.cnt > 0, game.cnt, 1.0)
+
+    def rz(k):
+        return jnp.zeros((4, Rn, C, k), F32)
+
+    st0 = dict(
+        tr0=jnp.zeros((C, 2), F32), tr1=jnp.zeros((C, 2), F32),
+        tr2=jnp.zeros((C, 2), F32), tr3=jnp.zeros((C, 3), F32),
+        tr4=jnp.zeros((C, 2), F32),
+        ta0=jnp.zeros((C, 2), F32), ta1=jnp.zeros((C, 2), F32),
+        ta2=jnp.zeros((C, 2), F32), ta3=jnp.zeros((C, 3), F32),
+        ta4=jnp.zeros((C, 2), F32),
+        rr0=rz(2), rr1=rz(2), rr2=rz(2), rr3=rz(3), rr4=rz(2),
+        ra0=rz(2), ra1=rz(2), ra2=rz(2), ra3=rz(3), ra4=rz(2),
+    )
+
+    def turn_reaches(t0, t1, t2, t3, t4):
+        """Per-line (P1 reach [C], P2 reach [C]) along the turn tree."""
+        rho1 = jnp.stack([t0[:, 0], t0[:, 0] * t2[:, 1],
+                          t0[:, 1], t0[:, 1] * t4[:, 1]])      # [4, C]
+        rho2 = jnp.stack([t1[:, 0], t1[:, 1],
+                          t3[:, 1], t3[:, 2]])                 # [4, C]
+        return rho1, rho2
+
+    def river_pass_p1(st, rho2, update: bool):
+        """Sweep rivers: P1 river regrets/averages (if update) and the
+        per-line P1 entry values V1 [4, C] (already weighted by chance,
+        mask_r and rho2)."""
+
+        def body(r, carry):
+            st, V1 = carry
+            W = _w_matrix(game.keys[r])
+            free_r = (1.0 - game.has_r[r])
+            m_r = (mask0 * free_r[:, None] * free_r[None, :] / safe_cnt)
+
+            def per_line(L, st, V1):
+                s0 = _normalize(st["rr0"][L, r], g["s0"])
+                s1 = _normalize(st["rr1"][L, r], g["s1"])
+                s2 = _normalize(st["rr2"][L, r])
+                s3 = _normalize(st["rr3"][L, r], g["s3"])
+                s4 = _normalize(st["rr4"][L, r])
+                m = m_r * rho2[L][None, :]
+                v0, v2, v4 = _river_p1_values(
+                    m, W, pots_l[L], bl[L], rl[L], s1, s2, s3, s4)
+                if update:
+                    for key, s, v in (("rr0", s0, v0), ("rr2", s2, v2),
+                                      ("rr4", s4, v4)):
+                        cur = jnp.sum(s * v, 1, keepdims=True)
+                        st[key] = st[key].at[L, r].set(jnp.maximum(
+                            st[key][L, r] + v - cur, 0.0))
+                V1 = V1.at[L].add(jnp.sum(s0 * v0, axis=1))
+                return st, V1
+
+            for L in range(4):
+                st, V1 = per_line(L, st, V1)
+            return st, V1
+
+        return jax.lax.fori_loop(0, Rn, body,
+                                 (st, jnp.zeros((4, C), F32)))
+
+    def river_pass_p2(st, rho1, update: bool):
+        """Sweep rivers: P2 river regrets and entry values V2 [4, C]."""
+
+        def body(r, carry):
+            st, V2 = carry
+            W = _w_matrix(game.keys[r])
+            free_r = (1.0 - game.has_r[r])
+            m_r = (mask0 * free_r[:, None] * free_r[None, :] / safe_cnt)
+
+            def per_line(L, st, V2):
+                s0 = _normalize(st["rr0"][L, r], g["s0"])
+                s1 = _normalize(st["rr1"][L, r], g["s1"])
+                s2 = _normalize(st["rr2"][L, r])
+                s3 = _normalize(st["rr3"][L, r], g["s3"])
+                s4 = _normalize(st["rr4"][L, r])
+                m = m_r * rho1[L][:, None]
+                v1, v3 = _river_p2_values(
+                    m, W, pots_l[L], bl[L], rl[L], s0, s2, s4)
+                if update:
+                    for key, s, v in (("rr1", s1, v1), ("rr3", s3, v3)):
+                        cur = jnp.sum(s * v, 1, keepdims=True)
+                        st[key] = st[key].at[L, r].set(jnp.maximum(
+                            st[key][L, r] + v - cur, 0.0))
+                # P2's river-root value: node 1 sits under P1's check
+                # (weight s0[:,0] inside v1 via m already? no — v1 is
+                # P2's CF value at node 1, which P2 reaches whenever the
+                # line does; the line value is v1 under the current
+                # strategy plus node-3 when the line enters via a bet.
+                # Lines route P2 through exactly ONE river root: cc/xbc
+                # enter at node 0 with P1 to act -> P2's entry value is
+                # the node-1 current value weighted by P1's river check
+                # (already inside v1's r1 = m * s0[:,0]) PLUS node-3
+                # weighted by P1's river bet (inside v3's r3); both
+                # nodes' current values sum to the line value.
+                V2 = V2.at[L].add(jnp.sum(s1 * v1, axis=1)
+                                  + jnp.sum(s3 * v3, axis=1))
+                return st, V2
+
+            for L in range(4):
+                st, V2 = per_line(L, st, V2)
+            return st, V2
+
+        return jax.lax.fori_loop(0, Rn, body,
+                                 (st, jnp.zeros((4, C), F32)))
+
+    def river_avg_accumulate(st, rho1, rho2, w):
+        """Average-strategy accumulation for river infosets, weighted by
+        the OWNER's full reach (turn line reach x own river reach)."""
+
+        def body(r, st):
+            for L in range(4):
+                s0 = _normalize(st["rr0"][L, r], g["s0"])
+                s1 = _normalize(st["rr1"][L, r], g["s1"])
+                s2 = _normalize(st["rr2"][L, r])
+                s3 = _normalize(st["rr3"][L, r], g["s3"])
+                s4 = _normalize(st["rr4"][L, r])
+                w1 = w * rho1[L]
+                w2 = w * rho2[L]
+                st["ra0"] = st["ra0"].at[L, r].add(w1[:, None] * s0)
+                st["ra2"] = st["ra2"].at[L, r].add(
+                    (w1 * s0[:, 0])[:, None] * s2)
+                st["ra4"] = st["ra4"].at[L, r].add(
+                    (w1 * s0[:, 1])[:, None] * s4)
+                st["ra1"] = st["ra1"].at[L, r].add(w2[:, None] * s1)
+                st["ra3"] = st["ra3"].at[L, r].add(w2[:, None] * s3)
+            return st
+
+        return jax.lax.fori_loop(0, Rn, body, st)
+
+    pot, B, R = game.pot, game.bet, game.raise_
+
+    def turn_p1_values(t1, t2, t3, t4, V1):
+        """P1 turn action values from river entry values V1 [4, C]."""
+        s2sum = {L: jnp.sum(mask0 * rho[None, :], 1)
+                 for L, rho in ((1, t1[:, 1]), (2, t3[:, 1]),
+                                (3, t3[:, 2]))}
+        v4 = jnp.stack([-B * s2sum[3],
+                        V1[3] - (B + R) * s2sum[3]], axis=1)
+        v2 = jnp.stack([jnp.zeros_like(V1[1]),
+                        V1[1] - B * s2sum[1]], axis=1)
+        v_check = V1[0] + jnp.sum(t2 * v2, axis=1)
+        v_bet = (pot * jnp.sum(mask0 * t3[None, :, 0], 1)
+                 + V1[2] - B * s2sum[2]
+                 + jnp.sum(t4 * v4, axis=1))
+        v0 = jnp.stack([v_check, v_bet], axis=1)
+        return v0, v2, v4
+
+    def turn_p2_values(t0, t2, t4, V2):
+        """P2 turn action values from river entry values V2 [4, C]."""
+        r1sum = jnp.sum(mask0 * t0[:, 0][:, None], 0)
+        v1_check = V2[0]
+        v1_bet = (pot * jnp.sum(mask0 * (t0[:, 0] * t2[:, 0])[:, None], 0)
+                  + V2[1]
+                  - B * jnp.sum(mask0 * (t0[:, 0] * t2[:, 1])[:, None], 0))
+        del r1sum
+        v1 = jnp.stack([v1_check, v1_bet], axis=1)
+        v3_fold = jnp.zeros_like(V2[2])
+        v3_call = V2[2] - B * jnp.sum(mask0 * t0[:, 1][:, None], 0)
+        v3_raise = ((pot + B) * jnp.sum(
+                        mask0 * (t0[:, 1] * t4[:, 0])[:, None], 0)
+                    + V2[3]
+                    - (B + R) * jnp.sum(
+                        mask0 * (t0[:, 1] * t4[:, 1])[:, None], 0))
+        v3 = jnp.stack([v3_fold, v3_call, v3_raise], axis=1)
+        return v1, v3
+
+    def body(t, st):
+        t0 = _normalize(st["tr0"], g["t0"])
+        t1 = _normalize(st["tr1"], g["t1"])
+        t2 = _normalize(st["tr2"])
+        t3 = _normalize(st["tr3"], g["t3"])
+        t4 = _normalize(st["tr4"])
+        w = (t + 1).astype(F32)
+
+        # ---- P1 update: river infosets then turn infosets ----
+        rho1, rho2 = turn_reaches(t0, t1, t2, t3, t4)
+        st, V1 = river_pass_p1(st, rho2, update=True)
+        v0, v2, v4 = turn_p1_values(t1, t2, t3, t4, V1)
+        for key, s, v in (("tr0", t0, v0), ("tr2", t2, v2),
+                          ("tr4", t4, v4)):
+            st[key] = jnp.maximum(
+                st[key] + v - jnp.sum(s * v, 1, keepdims=True), 0.0)
+        st["ta0"] = st["ta0"] + w * t0
+        st["ta2"] = st["ta2"] + w * t0[:, 0][:, None] * t2
+        st["ta4"] = st["ta4"] + w * t0[:, 1][:, None] * t4
+
+        # ---- P2 update vs P1's just-updated strategies ----
+        t0n = _normalize(st["tr0"], g["t0"])
+        t2n = _normalize(st["tr2"])
+        t4n = _normalize(st["tr4"])
+        rho1n, _ = turn_reaches(t0n, t1, t2n, t3, t4n)
+        st, V2 = river_pass_p2(st, rho1n, update=True)
+        v1, v3 = turn_p2_values(t0n, t2n, t4n, V2)
+        for key, s, v in (("tr1", t1, v1), ("tr3", t3, v3)):
+            st[key] = jnp.maximum(
+                st[key] + v - jnp.sum(s * v, 1, keepdims=True), 0.0)
+        st["ta1"] = st["ta1"] + w * t1
+        st["ta3"] = st["ta3"] + w * t3
+
+        # ---- average-strategy accumulation for river infosets ----
+        st = river_avg_accumulate(st, rho1, rho2, w)
+        return st
+
+    st = jax.lax.fori_loop(0, iterations, body, st0)
+
+    def avg(a, allow=None):
+        tot = jnp.sum(a, axis=-1, keepdims=True)
+        if allow is not None:
+            fb = jnp.broadcast_to(allow / jnp.sum(allow), a.shape)
+        else:
+            fb = jnp.full_like(a, 1.0 / a.shape[-1])
+        return jnp.where(tot > 0, a / jnp.where(tot > 0, tot, 1.0), fb)
+
+    return TurnRiverStrategy(
+        t0=avg(st["ta0"], g["t0"]), t1=avg(st["ta1"], g["t1"]),
+        t2=avg(st["ta2"]), t3=avg(st["ta3"], g["t3"]),
+        t4=avg(st["ta4"]),
+        s0=avg(st["ra0"], g["s0"]), s1=avg(st["ra1"], g["s1"]),
+        s2=avg(st["ra2"]), s3=avg(st["ra3"], g["s3"]),
+        s4=avg(st["ra4"]))
+
+
+# ---------------------------------------------------------------------------
+# Evaluation: strategy EV, best responses, exploitability gap
+# ---------------------------------------------------------------------------
+
+def _entry_values_p1(game, strat, best: bool):
+    """Per-line P1 river entry values [4, C] vs P2's average river
+    strategy; ``best`` replaces P1's river play with argmax (BR)."""
+    pots_l, bl, rl = _river_sizes(game)
+    mask0 = game.mask0
+    safe_cnt = jnp.where(game.cnt > 0, game.cnt, 1.0)
+    _, rho2 = _avg_turn_reaches(strat)
+    Rn = game.keys.shape[0]
+    C = mask0.shape[0]
+
+    def body(r, V1):
+        W = _w_matrix(game.keys[r])
+        free_r = (1.0 - game.has_r[r])
+        m_r = mask0 * free_r[:, None] * free_r[None, :] / safe_cnt
+        for L in range(4):
+            m = m_r * rho2[L][None, :]
+            s1 = strat.s1[L, r]
+            s3 = strat.s3[L, r]
+            if best:
+                # bottom-up max over P1's river nodes
+                u_xbc = (pots_l[L] + 2 * bl[L]) * W - bl[L]
+                u_brc = (pots_l[L] + 2 * (bl[L] + rl[L])) * W \
+                    - (bl[L] + rl[L])
+                r4 = m * s3[None, :, 2]
+                b4 = jnp.maximum(jnp.sum(r4, 1) * (-bl[L]),
+                                 jnp.sum(r4 * u_brc, 1))
+                r2 = m * s1[None, :, 1]
+                b2 = jnp.maximum(0.0, jnp.sum(r2 * u_xbc, 1))
+                v_check = jnp.sum(m * s1[None, :, 0] * pots_l[L] * W,
+                                  1) + b2
+                v_bet = (jnp.sum(m * s3[None, :, 0], 1) * pots_l[L]
+                         + jnp.sum(m * s3[None, :, 1]
+                                   * ((pots_l[L] + 2 * bl[L]) * W
+                                      - bl[L]), 1)
+                         + b4)
+                if not game.river_betting:
+                    v_bet = v_check - 1.0
+                V1 = V1.at[L].add(jnp.maximum(v_check, v_bet))
+            else:
+                v0, _, _ = _river_p1_values(
+                    m, W, pots_l[L], bl[L], rl[L],
+                    s1, strat.s2[L, r], s3, strat.s4[L, r])
+                V1 = V1.at[L].add(jnp.sum(strat.s0[L, r] * v0, axis=1))
+        return V1
+
+    return jax.lax.fori_loop(0, Rn, body, jnp.zeros((4, C), F32))
+
+
+def _entry_values_p2(game, strat, best: bool):
+    """Per-line P2 river entry values [4, C] vs P1's average river
+    strategy (P1's turn reach folded in)."""
+    pots_l, bl, rl = _river_sizes(game)
+    mask0 = game.mask0
+    safe_cnt = jnp.where(game.cnt > 0, game.cnt, 1.0)
+    rho1, _ = _avg_turn_reaches(strat)
+    Rn = game.keys.shape[0]
+    C = mask0.shape[0]
+
+    def body(r, V2):
+        W = _w_matrix(game.keys[r])
+        free_r = (1.0 - game.has_r[r])
+        m_r = mask0 * free_r[:, None] * free_r[None, :] / safe_cnt
+        for L in range(4):
+            m = m_r * rho1[L][:, None]
+            v1, v3 = _river_p2_values(
+                m, W, pots_l[L], bl[L], rl[L],
+                strat.s0[L, r], strat.s2[L, r], strat.s4[L, r])
+            if best:
+                if not game.river_betting:
+                    v1 = v1.at[:, 1].set(v1[:, 0] - 1.0)
+                    v3 = v3.at[:, 2].set(jnp.min(v3, 1) - 1.0)
+                V2 = V2.at[L].add(jnp.max(v1, axis=1)
+                                  + jnp.max(v3, axis=1))
+            else:
+                V2 = V2.at[L].add(
+                    jnp.sum(strat.s1[L, r] * v1, axis=1)
+                    + jnp.sum(strat.s3[L, r] * v3, axis=1))
+        return V2
+
+    return jax.lax.fori_loop(0, Rn, body, jnp.zeros((4, C), F32))
+
+
+def _avg_turn_reaches(strat: TurnRiverStrategy):
+    rho1 = jnp.stack([strat.t0[:, 0], strat.t0[:, 0] * strat.t2[:, 1],
+                      strat.t0[:, 1], strat.t0[:, 1] * strat.t4[:, 1]])
+    rho2 = jnp.stack([strat.t1[:, 0], strat.t1[:, 1],
+                      strat.t3[:, 1], strat.t3[:, 2]])
+    return rho1, rho2
+
+
+def strategy_values(game: TurnRiverGame, strat: TurnRiverStrategy
+                    ) -> Tuple[float, float]:
+    """(P1 EV, P2 EV) under the average profile; sums to pot."""
+    pot, B, R = game.pot, game.bet, game.raise_
+    mask0 = game.mask0
+    V1 = _entry_values_p1(game, strat, best=False)
+    t1, t2, t3, t4 = strat.t1, strat.t2, strat.t3, strat.t4
+    s2sum = {L: jnp.sum(mask0 * rho[None, :], 1)
+             for L, rho in ((1, t1[:, 1]), (2, t3[:, 1]), (3, t3[:, 2]))}
+    v4 = jnp.stack([-B * s2sum[3], V1[3] - (B + R) * s2sum[3]], 1)
+    v2 = jnp.stack([jnp.zeros_like(V1[1]), V1[1] - B * s2sum[1]], 1)
+    v_check = V1[0] + jnp.sum(t2 * v2, 1)
+    v_bet = (pot * jnp.sum(mask0 * t3[None, :, 0], 1)
+             + V1[2] - B * s2sum[2] + jnp.sum(t4 * v4, 1))
+    v0 = jnp.stack([v_check, v_bet], 1)
+    total = jnp.sum(jnp.sum(strat.t0 * v0, axis=1))
+    pairs = jnp.sum(mask0)
+    ev1 = float(total / pairs)
+    return ev1, float(game.pot) - ev1
+
+
+def best_response_values(game: TurnRiverGame, strat: TurnRiverStrategy
+                         ) -> Tuple[float, float]:
+    """(BR1, BR2) vs the average profile; gap = br1 + br2 - pot >= 0."""
+    pot, B, R = game.pot, game.bet, game.raise_
+    mask0 = game.mask0
+    pairs = jnp.sum(mask0)
+
+    # BR for P1: best river play per line, then best turn play
+    B1 = _entry_values_p1(game, strat, best=True)
+    t1, t3 = strat.t1, strat.t3
+    s2sum = {L: jnp.sum(mask0 * rho[None, :], 1)
+             for L, rho in ((1, t1[:, 1]), (2, t3[:, 1]), (3, t3[:, 2]))}
+    b4 = jnp.maximum(-B * s2sum[3], B1[3] - (B + R) * s2sum[3])
+    b2 = jnp.maximum(0.0, B1[1] - B * s2sum[1])
+    v_check = B1[0] + b2
+    v_bet = (pot * jnp.sum(mask0 * t3[None, :, 0], 1)
+             + B1[2] - B * s2sum[2] + b4)
+    if not game.turn_betting:
+        v_bet = v_check - 1.0
+    br1 = float(jnp.sum(jnp.maximum(v_check, v_bet)) / pairs)
+
+    # BR for P2
+    B2 = _entry_values_p2(game, strat, best=True)
+    t0, t2, t4 = strat.t0, strat.t2, strat.t4
+    v1_check = B2[0]
+    v1_bet = (pot * jnp.sum(mask0 * (t0[:, 0] * t2[:, 0])[:, None], 0)
+              + B2[1]
+              - B * jnp.sum(mask0 * (t0[:, 0] * t2[:, 1])[:, None], 0))
+    if not game.turn_betting:
+        v1_bet = v1_check - 1.0
+    v3_fold = jnp.zeros_like(B2[2])
+    v3_call = B2[2] - B * jnp.sum(mask0 * t0[:, 1][:, None], 0)
+    v3_raise = ((pot + B) * jnp.sum(
+                    mask0 * (t0[:, 1] * t4[:, 0])[:, None], 0)
+                + B2[3]
+                - (B + R) * jnp.sum(
+                    mask0 * (t0[:, 1] * t4[:, 1])[:, None], 0))
+    if not game.turn_betting:
+        v3_raise = jnp.minimum(v3_fold, jnp.minimum(v3_call,
+                                                    v3_raise)) - 1.0
+    br2 = float(jnp.sum(jnp.maximum(v1_check, v1_bet)
+                        + jnp.maximum(v3_fold,
+                                      jnp.maximum(v3_call, v3_raise)))
+                / pairs)
+    return br1, br2
+
+
+def exploitability_gap(game: TurnRiverGame,
+                       strat: TurnRiverStrategy) -> float:
+    br1, br2 = best_response_values(game, strat)
+    return br1 + br2 - float(game.pot)
+
+
+def chance_averaged_equity(game: TurnRiverGame) -> jnp.ndarray:
+    """E_r[W_r | valid] as a [C, C] matrix — the one-street reduction's
+    payoff base (river_betting=False collapses this game to a
+    one-street game on this matrix)."""
+    C = game.mask0.shape[0]
+    safe_cnt = jnp.where(game.cnt > 0, game.cnt, 1.0)
+
+    def body(r, acc):
+        W = _w_matrix(game.keys[r])
+        free_r = (1.0 - game.has_r[r])
+        return acc + W * free_r[:, None] * free_r[None, :]
+
+    tot = jax.lax.fori_loop(0, game.keys.shape[0], body,
+                            jnp.zeros((C, C), F32))
+    return tot / safe_cnt

@@ -80,6 +80,17 @@ class TurnRiverGame(NamedTuple):
     river_bet_frac: float = 1.0
     turn_betting: bool = True
     river_betting: bool = True
+    # Raise gates: the no-raise tree (bet/call/fold on both streets) is
+    # the deepest game that fits the engine's 100-chip stacks with the
+    # nets' own pot-raise menu sizes — the artifact game
+    # scripts/turn_gap.py solves and extracts.
+    turn_raise: bool = True
+    river_raise: bool = True
+    # Optional per-line river bet override [4] (chips). The engine's
+    # pot-raise menu uses the reference's quirky pot formula
+    # (n-inflated layers), so the net's actual bet sizes are NOT
+    # river_bet_frac * pot_L — turn_river_node_states measures them.
+    river_bets: Optional[Tuple[float, float, float, float]] = None
 
     @property
     def pots_l(self) -> np.ndarray:
@@ -123,7 +134,10 @@ def make_turn_river_game(board4: Sequence[int],
                          raise_: float = 12.0,
                          river_bet_frac: float = 1.0,
                          turn_betting: bool = True,
-                         river_betting: bool = True
+                         river_betting: bool = True,
+                         turn_raise: bool = True,
+                         river_raise: bool = True,
+                         river_bets: Optional[Sequence[float]] = None
                          ) -> Tuple[TurnRiverGame, np.ndarray]:
     """Build the two-street game from the certified evaluator.
 
@@ -172,14 +186,20 @@ def make_turn_river_game(board4: Sequence[int],
                           jnp.asarray(mask0), jnp.asarray(cnt),
                           jnp.asarray(rivers), float(pot), float(bet),
                           float(raise_), float(river_bet_frac),
-                          bool(turn_betting), bool(river_betting)),
+                          bool(turn_betting), bool(river_betting),
+                          bool(turn_raise), bool(river_raise),
+                          None if river_bets is None
+                          else tuple(float(b) for b in river_bets)),
             combos)
 
 
 def _river_sizes(game: TurnRiverGame):
     """Per-line (pot_L, B_L, R_L) as [4] f32 arrays."""
     pots = jnp.asarray(game.pots_l, F32)
-    bl = game.river_bet_frac * pots
+    if game.river_bets is not None:
+        bl = jnp.asarray(game.river_bets, F32)
+    else:
+        bl = game.river_bet_frac * pots
     rl = pots + 2.0 * bl  # pot-raise facing the bet
     return pots, bl, rl
 
@@ -201,11 +221,13 @@ def _gates(game: TurnRiverGame):
     """(turn P1-root gate [2], turn P2 gates [2]/[3], river gates)."""
     tb = 1.0 if game.turn_betting else 0.0
     rb = 1.0 if game.river_betting else 0.0
+    tr = tb if game.turn_raise else 0.0
+    rr = rb if game.river_raise else 0.0
     return dict(
         t0=jnp.array([1.0, tb], F32), t1=jnp.array([1.0, tb], F32),
-        t3=jnp.array([1.0, 1.0, tb], F32),
+        t3=jnp.array([1.0, 1.0, tr], F32),
         s0=jnp.array([1.0, rb], F32), s1=jnp.array([1.0, rb], F32),
-        s3=jnp.array([1.0, 1.0, rb], F32),
+        s3=jnp.array([1.0, 1.0, rr], F32),
     )
 
 
@@ -565,6 +587,7 @@ def _entry_values_p2(game, strat, best: bool):
             if best:
                 if not game.river_betting:
                     v1 = v1.at[:, 1].set(v1[:, 0] - 1.0)
+                if not (game.river_betting and game.river_raise):
                     v3 = v3.at[:, 2].set(jnp.min(v3, 1) - 1.0)
                 V2 = V2.at[L].add(jnp.max(v1, axis=1)
                                   + jnp.max(v3, axis=1))
@@ -643,7 +666,7 @@ def best_response_values(game: TurnRiverGame, strat: TurnRiverStrategy
                 + B2[3]
                 - (B + R) * jnp.sum(
                     mask0 * (t0[:, 1] * t4[:, 1])[:, None], 0))
-    if not game.turn_betting:
+    if not (game.turn_betting and game.turn_raise):
         v3_raise = jnp.minimum(v3_fold, jnp.minimum(v3_call,
                                                     v3_raise)) - 1.0
     br2 = float(jnp.sum(jnp.maximum(v1_check, v1_bet)
@@ -657,6 +680,188 @@ def exploitability_gap(game: TurnRiverGame,
                        strat: TurnRiverStrategy) -> float:
     br1, br2 = best_response_values(game, strat)
     return br1 + br2 - float(game.pot)
+
+
+# ---------------------------------------------------------------------------
+# Trained-net Nash gap: extract a policy artifact's two-street strategy
+# and measure its exploitability in the solved subgame
+# ---------------------------------------------------------------------------
+
+def turn_river_node_states(board4: Sequence[int],
+                           rivers: Sequence[int], pot_bb: int = 2):
+    """Engine states at every decision node of the NO-RAISE two-street
+    tree (the deepest tree that fits 100-chip stacks with the nets' own
+    pot-bet sizes — see TurnRiverGame.turn_raise).
+
+    A heads-up hand is scripted to the TURN on an injected deck (blinds,
+    SB call, BB check, flop checks -> pot = 2bb = 20 chips), then the
+    in-tree prefixes are applied. Bets are the NET'S OWN pot-raise menu
+    sizes, MEASURED from ``action_from_index(3, state)`` at each node —
+    the reference's layered-pot quirks (n-inflation) make the menu's
+    "pot" formula differ from the real pot, so the honest sizes are
+    whatever the artifact can actually play (turn 20; river 20 on the
+    check-check line, 30 on the bet-called lines), not pot_L itself.
+
+    Returns (turn_states, river_states, sizes):
+      turn_states:  node -> single TableState (n0..n3)
+      river_states: line -> node -> TableState vmapped over ``rivers``
+      sizes: dict(pot, bet, river_bets) matching
+             make_turn_river_game(pot=pot, bet=bet,
+             river_bets=river_bets, turn_raise=False,
+             river_raise=False)
+    """
+    from montecarlo_tpu.engine.state import (
+        TableConfig, init_state, redeal,
+    )
+    from montecarlo_tpu.engine.step import clamp_action, step_table
+    from montecarlo_tpu.models.policy_net import action_from_index
+
+    assert pot_bb == 2, "the scripted prelude produces a 2bb turn pot"
+    cfg = TableConfig(num_seats=2, rules="standard")
+    board4 = np.asarray(board4, np.int32)
+    rivers = np.asarray(rivers, np.int32)
+    pot = 2 * cfg.big_blind
+    B = pot                               # turn pot-bet
+
+    # deck layout (engine/state.py deal): holes at 0..3, community at
+    # positions 5,6,7 (flop), 9 (turn), 11 (river)
+    base = 4
+    pos = list(range(base)) + [base + 1, base + 2, base + 3, base + 5,
+                               base + 7]
+
+    def deck_for(river):
+        # dummy holes per deck: any 4 cards off the board and river
+        # (features never read the opponent's hole; the head's is
+        # swapped per combo during extraction)
+        dead = set(int(c) for c in board4) | {int(river)}
+        dummies = [c for c in range(52) if c not in dead][:4]
+        dealt = np.array(dummies + list(board4) + [river], np.int32)
+        deck = np.zeros(52, np.int32)
+        deck[pos] = dealt
+        rest = np.setdiff1d(np.arange(52), dealt)
+        deck[[p for p in range(52) if p not in pos]] = rest
+        return deck
+
+    decks = jnp.asarray(np.stack([deck_for(int(r)) for r in rivers]))
+
+    def advance(s, actions):
+        for a in actions:
+            s = step_table(s, clamp_action(s, jnp.asarray(a, jnp.int32)),
+                           rules=cfg.rules)
+        return s
+
+    def to_turn(deck):
+        s = init_state(jax.random.key(0), cfg)
+        s = redeal(s, deck)
+        # SB call, BB check (preflop), check-check (flop) -> turn
+        return advance(s, [0, 0, 0, 0])
+
+    turn0 = to_turn(decks[0])
+    B = int(action_from_index(jnp.asarray(3), turn0))  # net's turn bet
+    assert B == pot, (B, pot)
+    turn_states = {
+        "n0": turn0,                      # P1 to act
+        "n1": advance(turn0, [0]),        # P2 after check
+        "n2": advance(turn0, [0, B]),     # P1 facing bet
+        "n3": advance(turn0, [B]),        # P2 facing bet
+    }
+
+    line_actions = {"cc": [0, 0], "xbc": [0, B, 0], "bc": [B, 0]}
+    river_states = {}
+    river_bets = {}
+    for L, acts in line_actions.items():
+        # the net's pot-raise size at this line's river root (the quirky
+        # pot formula depends only on the betting line, never the card)
+        r0_probe = advance(turn0, acts)
+        bl = int(action_from_index(jnp.asarray(3), r0_probe))
+        river_bets[L] = float(bl)
+
+        @jax.jit
+        def nodes(deck, acts=tuple(acts), bl=bl):
+            r0 = advance(to_turn(deck), list(acts))
+            return dict(n0=r0, n1=advance(r0, [0]),
+                        n2=advance(r0, [0, bl]), n3=advance(r0, [bl]))
+
+        river_states[L] = jax.vmap(nodes)(decks)
+    return turn_states, river_states, dict(
+        pot=float(pot), bet=float(B),
+        river_bets=(river_bets["cc"], river_bets["xbc"],
+                    river_bets["bc"], river_bets["bc"]))
+
+
+def net_turn_river_strategy(params, turn_states, river_states, combos
+                            ) -> TurnRiverStrategy:
+    """Extract an artifact's two-street strategy (no-raise tree).
+
+    Menu mapping as in ``river_solver.net_river_strategy``: with nothing
+    owed {check = call-menu, bet = either raise size}; facing a bet
+    {fold, call = call + raise mass} (the tree has no raise, so raise
+    mass continues as a call — conservative). The masked softmax is the
+    artifact's own play distribution.
+    """
+    from montecarlo_tpu.engine.street import bets_needed
+    from montecarlo_tpu.engine.step import head_info
+    from montecarlo_tpu.models.features import state_features
+    from montecarlo_tpu.models.policy_net import policy_logits
+
+    combos = jnp.asarray(combos)
+    C = combos.shape[0]
+
+    @jax.jit
+    def node_probs(state, head_pos):
+        holes0 = jnp.asarray(state.hole)
+
+        def one(combo):
+            s = state._replace(hole=holes0.at[head_pos].set(combo))
+            feats = state_features(s)
+            logits = policy_logits(params, feats)
+            p, _, _ = head_info(s)
+            free = bets_needed(s.bets, p) == 0
+            logits = logits.at[0].add(jnp.where(free, -1e9, 0.0))
+            return jax.nn.softmax(logits)
+
+        return jax.vmap(one)(combos)
+
+    def free_map(p):   # {check, bet}
+        return jnp.stack([p[..., 1], p[..., 2] + p[..., 3]], axis=-1)
+
+    def owed2_map(p):  # {fold, call (+raise mass)}
+        return jnp.stack([p[..., 0],
+                          p[..., 1] + p[..., 2] + p[..., 3]], axis=-1)
+
+    t0 = free_map(node_probs(turn_states["n0"], 0))
+    t1 = free_map(node_probs(turn_states["n1"], 1))
+    t2 = owed2_map(node_probs(turn_states["n2"], 0))
+    p3 = node_probs(turn_states["n3"], 1)
+    t3 = jnp.stack([p3[:, 0], p3[:, 1] + p3[:, 2] + p3[:, 3],
+                    jnp.zeros(C)], axis=-1)
+    t4 = jnp.full((C, 2), 0.5)
+
+    lines = ("cc", "xbc", "bc")
+    vprobs = jax.vmap(node_probs, in_axes=(0, None))
+    s0, s1, s2, s3 = [], [], [], []
+    for L in lines:
+        ns = river_states[L]
+        s0.append(free_map(vprobs(ns["n0"], 0)))
+        s1.append(free_map(vprobs(ns["n1"], 1)))
+        s2.append(owed2_map(vprobs(ns["n2"], 0)))
+        q3 = vprobs(ns["n3"], 1)
+        s3.append(jnp.stack([q3[..., 0],
+                             q3[..., 1] + q3[..., 2] + q3[..., 3],
+                             jnp.zeros(q3.shape[:-1])], axis=-1))
+    Rn = s0[0].shape[0]
+    # line brc is unreachable in the no-raise tree: uniform placeholder
+    s0.append(jnp.full((Rn, C, 2), 0.5))
+    s1.append(jnp.full((Rn, C, 2), 0.5))
+    s2.append(jnp.full((Rn, C, 2), 0.5))
+    s3.append(jnp.concatenate([jnp.full((Rn, C, 2), 0.5),
+                               jnp.zeros((Rn, C, 1))], axis=-1))
+    s4 = jnp.full((4, Rn, C, 2), 0.5)
+
+    return TurnRiverStrategy(
+        t0=t0, t1=t1, t2=t2, t3=t3, t4=t4,
+        s0=jnp.stack(s0), s1=jnp.stack(s1), s2=jnp.stack(s2),
+        s3=jnp.stack(s3), s4=s4)
 
 
 def chance_averaged_equity(game: TurnRiverGame) -> jnp.ndarray:

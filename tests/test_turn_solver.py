@@ -93,6 +93,81 @@ def test_river_betting_off_reduces_to_one_street():
     assert abs(ev1 - rev1) <= gap1 + gap2 + 1e-3, (ev1, rev1)
 
 
+def test_no_raise_game_solves_and_brc_unreachable():
+    """The artifact tree (turn_raise=river_raise=False — fits 100-chip
+    stacks with pot-bet sizes) converges, and the average strategy puts
+    zero mass on the gated raises."""
+    combos = _combo_subset(BOARD4, stride=24)
+    game, _ = make_turn_river_game(BOARD4, rivers=RIVERS, combos=combos,
+                                   pot=4.0, bet=4.0,
+                                   turn_raise=False, river_raise=False)
+    strat = solve_turn_river(game, iterations=400)
+    gap = exploitability_gap(game, strat)
+    assert gap < 0.06 * game.pot, gap
+    assert float(np.abs(np.asarray(strat.t3[:, 2])).max()) == 0.0
+    assert float(np.abs(np.asarray(strat.s3[..., 2])).max()) == 0.0
+
+
+def test_node_states_streets_and_pots():
+    """The scripted prelude reaches the turn with a 2bb pot; each line's
+    river state carries that line's (real) pot; bet sizes are the
+    measured net menu (quirky-pot formula: 20 / 20, 30, 30)."""
+    import jax
+
+    from montecarlo_tpu.models.turn_solver import turn_river_node_states
+
+    ts, rs, sizes = turn_river_node_states(BOARD4, RIVERS)
+    assert sizes == {"pot": 20.0, "bet": 20.0,
+                     "river_bets": (20.0, 30.0, 30.0, 30.0)}
+
+    def total_pot(s):
+        # real chips in the middle = what left the stacks (conservation;
+        # the layered pot arrays carry the reference's n-inflation quirk
+        # and cannot be summed directly)
+        return 200 - int(np.asarray(s.stacks).sum())
+
+    assert int(ts["n0"].n_community) == 4
+    assert total_pot(ts["n0"]) == 20
+    assert total_pot(ts["n3"]) == 40     # P1's bet is in
+    for L, pot_l in (("cc", 20), ("xbc", 60), ("bc", 60)):
+        n0 = jax.tree_util.tree_map(lambda x: x[0], rs[L]["n0"])
+        assert int(n0.n_community) == 5
+        assert total_pot(n0) == pot_l, (L, total_pot(n0))
+        # each river deck deals its own river card
+        comm = np.asarray(rs[L]["n0"].community[:, 4])
+        np.testing.assert_array_equal(comm, np.asarray(RIVERS))
+
+
+def test_net_extraction_known_bots():
+    """Packed rule bots extract to the obvious tree strategies: a
+    calling station never bets or folds; a pot-raise bot always bets and
+    (facing a bet) continues — raise mass maps to call."""
+    from montecarlo_tpu.models.bots import action_bot
+    from montecarlo_tpu.models.turn_solver import (
+        net_turn_river_strategy, turn_river_node_states,
+    )
+
+    combos = _combo_subset(BOARD4, stride=48)
+    ts, rs, _ = turn_river_node_states(BOARD4, RIVERS)
+
+    call = net_turn_river_strategy(action_bot(1), ts, rs, combos)
+    np.testing.assert_allclose(np.asarray(call.t0[:, 0]), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(call.t2[:, 1]), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(call.s1[:3, ..., 0]), 1.0,
+                               atol=1e-4)
+
+    pot = net_turn_river_strategy(action_bot(3), ts, rs, combos)
+    np.testing.assert_allclose(np.asarray(pot.t0[:, 1]), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pot.t3[:, 1]), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pot.s0[:3, ..., 1]), 1.0,
+                               atol=1e-4)
+    # rows are distributions everywhere
+    for arr in (pot.t0, pot.t1, pot.t2, pot.t3, call.s0[:3], call.s2[:3],
+                call.s3[:3]):
+        np.testing.assert_allclose(np.asarray(arr).sum(-1), 1.0,
+                                   atol=1e-4)
+
+
 def test_turn_check_down_single_river_is_the_river_subgame():
     """turn_betting=False with one river card IS the river game on
     board+[r]: EVs must agree with the one-street solver."""

@@ -281,9 +281,16 @@ def _river_p2_values(m, W, pot, B, R, s0, s2, s4):
     return v1, v3
 
 
-def solve_turn_river(game: TurnRiverGame, iterations: int = 1000
+def solve_turn_river(game: TurnRiverGame, iterations: int = 1000,
+                     progress_every: int = 0, log=None
                      ) -> TurnRiverStrategy:
-    """CFR+ (alternating updates, linear averaging) over both streets."""
+    """CFR+ (alternating updates, linear averaging) over both streets.
+
+    The per-iteration body is jitted ONCE and driven from a host loop
+    (the body dominates: three river sweeps over [C, C] panels), so any
+    iteration count reuses one compile; ``progress_every`` > 0 logs the
+    certified gap of the running average every that-many iterations via
+    ``log`` (default: print)."""
     C = game.mask0.shape[0]
     Rn = game.keys.shape[0]
     g = _gates(game)
@@ -494,7 +501,14 @@ def solve_turn_river(game: TurnRiverGame, iterations: int = 1000
         st = river_avg_accumulate(st, rho1, rho2, w)
         return st
 
-    st = jax.lax.fori_loop(0, iterations, body, st0)
+    # Chunked host loop over a jitted multi-iteration step: ONE compile
+    # serves any iteration count (and progress logging), while the chunk
+    # amortizes dispatch. Donation reuses the state buffers.
+    chunk = max(1, min(50, progress_every or 50))
+    step = jax.jit(
+        lambda t0_, st: jax.lax.fori_loop(
+            t0_, t0_ + chunk, body, st),
+        donate_argnums=(1,))
 
     def avg(a, allow=None):
         tot = jnp.sum(a, axis=-1, keepdims=True)
@@ -504,13 +518,31 @@ def solve_turn_river(game: TurnRiverGame, iterations: int = 1000
             fb = jnp.full_like(a, 1.0 / a.shape[-1])
         return jnp.where(tot > 0, a / jnp.where(tot > 0, tot, 1.0), fb)
 
-    return TurnRiverStrategy(
-        t0=avg(st["ta0"], g["t0"]), t1=avg(st["ta1"], g["t1"]),
-        t2=avg(st["ta2"]), t3=avg(st["ta3"], g["t3"]),
-        t4=avg(st["ta4"]),
-        s0=avg(st["ra0"], g["s0"]), s1=avg(st["ra1"], g["s1"]),
-        s2=avg(st["ra2"]), s3=avg(st["ra3"], g["s3"]),
-        s4=avg(st["ra4"]))
+    def to_strategy(st):
+        return TurnRiverStrategy(
+            t0=avg(st["ta0"], g["t0"]), t1=avg(st["ta1"], g["t1"]),
+            t2=avg(st["ta2"]), t3=avg(st["ta3"], g["t3"]),
+            t4=avg(st["ta4"]),
+            s0=avg(st["ra0"], g["s0"]), s1=avg(st["ra1"], g["s1"]),
+            s2=avg(st["ra2"]), s3=avg(st["ra3"], g["s3"]),
+            s4=avg(st["ra4"]))
+
+    st = st0
+    t = 0
+    log = log or (lambda d: print(d, flush=True))
+    while t < iterations:
+        n = min(chunk, iterations - t)
+        if n == chunk:
+            st = step(jnp.asarray(t, jnp.int32), st)
+        else:  # ragged tail: one extra compile at most
+            st = jax.lax.fori_loop(t, t + n, body, st)
+        t += n
+        if progress_every and (t % progress_every == 0
+                               or t >= iterations):
+            strat = to_strategy(st)
+            log({"iteration": t,
+                 "gap": round(exploitability_gap(game, strat), 5)})
+    return to_strategy(st)
 
 
 # ---------------------------------------------------------------------------

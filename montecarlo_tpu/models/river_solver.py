@@ -353,9 +353,13 @@ def river_node_states(board: Sequence[int], pot_bb: int = 2):
     A heads-up hand is scripted to the river on an injected deck (blinds,
     then checks through preflop/flop/turn -> pot = 2bb = 20 chips), then
     the in-tree prefixes are applied. Bet/raise sizes are the NET'S OWN
-    pot-raise menu at those nodes (B = 20 = the pot-raise at the root,
-    raise TO 80 = bet B + the pot-raise 60 facing it), so the tree speaks
-    the artifact's action language exactly.
+    pot-raise menu at those nodes, MEASURED from
+    ``action_from_index(3, state)``: B = 20 at the root, raise-by R = 50
+    facing the bet (raise TO 70) — the menu's "pot" formula rides the
+    reference's n-inflated layer quirk, so it is NOT the real pot
+    (round-3 note: the original release assumed R = 60/raise TO 80,
+    overstating the net's raise by 1 bb; the tree now speaks the
+    artifact's action language exactly).
 
     Returns (states, sizes): ``states`` maps node -> a single TableState
     with the acting player at the head (P1 nodes: position 0; P2 nodes:
@@ -369,11 +373,11 @@ def river_node_states(board: Sequence[int], pot_bb: int = 2):
     from montecarlo_tpu.engine.step import clamp_action, step_table
 
     assert pot_bb == 2, "the scripted prelude produces a 2bb river pot"
+    from montecarlo_tpu.models.policy_net import action_from_index
+
     cfg = TableConfig(num_seats=2, rules="standard")
     board = np.asarray(board, np.int32)
     pot = 2 * cfg.big_blind
-    B = pot                      # pot-raise with nothing owed
-    R = 2 * pot + B              # pot-raise facing the bet (pot+needed)
 
     dead = set(int(c) for c in board)
     dummies = [c for c in range(52) if c not in dead][:4]
@@ -398,12 +402,17 @@ def river_node_states(board: Sequence[int], pot_bb: int = 2):
                            rules=cfg.rules)
         return s
 
+    # the net's own menu sizes at the decision points (raise-by amounts)
+    B = int(action_from_index(jnp.asarray(3), st))
+    assert B == pot, (B, pot)
+    n3 = advance(st, [B])
+    R = int(action_from_index(jnp.asarray(3), n3))  # raise-by facing B
     states = {
         "n0": st,                       # P1 to act (head position 0)
         "n1": advance(st, [0]),         # P2 after check
         "n2": advance(st, [0, B]),      # P1 facing bet
-        "n3": advance(st, [B]),         # P2 facing bet
-        "n4": advance(st, [B, R]),      # P1 facing raise
+        "n3": n3,                       # P2 facing bet
+        "n4": advance(n3, [R]),         # P1 facing raise
     }
     return states, dict(pot=float(pot), bet=float(B), raise_=float(R))
 

@@ -87,6 +87,19 @@ if [ ${#RG_SUBJECTS[@]} -gt 0 ] \
   echo "queue2: DONE rivergap_r4 rc=$(cat logs/q_rivergap_r4.rc)"
 fi
 
+# 9c. Two-street (turn+river) Nash gap on the chip: pure-XLA mat-ops,
+#     ~6 GB of [C,C] panel traffic per CFR+ iteration — bandwidth-bound,
+#     so the v5e runs in minutes what the single-core CPU needs hours
+#     for. Includes the new artifacts when stage 1 produced them.
+TG_SUBJECTS=(es3=data/policy_6max_es3.npz es2=data/policy_6max_es2.npz
+  reinforce=data/policy_6max_200.npz hu=data/policy_hu_300.npz
+  untrained=INIT)
+[ -f data/policy_6max_es4.npz ] && TG_SUBJECTS+=("es4=data/policy_6max_es4.npz")
+[ -f data/policy_hu_es.npz ] && TG_SUBJECTS+=("hu_es=data/policy_hu_es.npz")
+run_job turngap_tpu 7200 env TURN_GAP_TPU=1 python scripts/turn_gap.py \
+  --iterations 4000 --subjects "${TG_SUBJECTS[@]}" \
+  --save data/turn_gap.json
+
 # 10. Compose the honest per-artifact exploitability statement
 #     (host-side JSON merge; tolerant of missing inputs).
 run_job exp_report 600 python scripts/exploitability_report.py \

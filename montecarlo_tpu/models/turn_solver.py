@@ -281,6 +281,48 @@ def _river_p2_values(m, W, pot, B, R, s0, s2, s4):
     return v1, v3
 
 
+def _turn_p1_values(game, t1, t2, t3, t4, V1):
+    """P1 turn action values (v0, v2, v4) from per-line river entry
+    values V1 [4, C] vs P2 turn strategies. Shared by the CFR body,
+    strategy_values, and (in max form) best_response_values."""
+    mask0 = game.mask0
+    pot, B, R = game.pot, game.bet, game.raise_
+    s2sum = {L: jnp.sum(mask0 * rho[None, :], 1)
+             for L, rho in ((1, t1[:, 1]), (2, t3[:, 1]),
+                            (3, t3[:, 2]))}
+    v4 = jnp.stack([-B * s2sum[3],
+                    V1[3] - (B + R) * s2sum[3]], axis=1)
+    v2 = jnp.stack([jnp.zeros_like(V1[1]),
+                    V1[1] - B * s2sum[1]], axis=1)
+    v_check = V1[0] + jnp.sum(t2 * v2, axis=1)
+    v_bet = (pot * jnp.sum(mask0 * t3[None, :, 0], 1)
+             + V1[2] - B * s2sum[2]
+             + jnp.sum(t4 * v4, axis=1))
+    v0 = jnp.stack([v_check, v_bet], axis=1)
+    return v0, v2, v4
+
+
+def _turn_p2_values(game, t0, t2, t4, V2):
+    """P2 turn action values (v1, v3) from per-line river entry values
+    V2 [4, C] vs P1 turn strategies."""
+    mask0 = game.mask0
+    pot, B, R = game.pot, game.bet, game.raise_
+    v1_check = V2[0]
+    v1_bet = (pot * jnp.sum(mask0 * (t0[:, 0] * t2[:, 0])[:, None], 0)
+              + V2[1]
+              - B * jnp.sum(mask0 * (t0[:, 0] * t2[:, 1])[:, None], 0))
+    v1 = jnp.stack([v1_check, v1_bet], axis=1)
+    v3_fold = jnp.zeros_like(V2[2])
+    v3_call = V2[2] - B * jnp.sum(mask0 * t0[:, 1][:, None], 0)
+    v3_raise = ((pot + B) * jnp.sum(
+                    mask0 * (t0[:, 1] * t4[:, 0])[:, None], 0)
+                + V2[3]
+                - (B + R) * jnp.sum(
+                    mask0 * (t0[:, 1] * t4[:, 1])[:, None], 0))
+    v3 = jnp.stack([v3_fold, v3_call, v3_raise], axis=1)
+    return v1, v3
+
+
 def solve_turn_river(game: TurnRiverGame, iterations: int = 1000,
                      progress_every: int = 0, log=None
                      ) -> TurnRiverStrategy:
@@ -427,42 +469,11 @@ def solve_turn_river(game: TurnRiverGame, iterations: int = 1000,
 
         return jax.lax.fori_loop(0, Rn, body, st)
 
-    pot, B, R = game.pot, game.bet, game.raise_
-
     def turn_p1_values(t1, t2, t3, t4, V1):
-        """P1 turn action values from river entry values V1 [4, C]."""
-        s2sum = {L: jnp.sum(mask0 * rho[None, :], 1)
-                 for L, rho in ((1, t1[:, 1]), (2, t3[:, 1]),
-                                (3, t3[:, 2]))}
-        v4 = jnp.stack([-B * s2sum[3],
-                        V1[3] - (B + R) * s2sum[3]], axis=1)
-        v2 = jnp.stack([jnp.zeros_like(V1[1]),
-                        V1[1] - B * s2sum[1]], axis=1)
-        v_check = V1[0] + jnp.sum(t2 * v2, axis=1)
-        v_bet = (pot * jnp.sum(mask0 * t3[None, :, 0], 1)
-                 + V1[2] - B * s2sum[2]
-                 + jnp.sum(t4 * v4, axis=1))
-        v0 = jnp.stack([v_check, v_bet], axis=1)
-        return v0, v2, v4
+        return _turn_p1_values(game, t1, t2, t3, t4, V1)
 
     def turn_p2_values(t0, t2, t4, V2):
-        """P2 turn action values from river entry values V2 [4, C]."""
-        r1sum = jnp.sum(mask0 * t0[:, 0][:, None], 0)
-        v1_check = V2[0]
-        v1_bet = (pot * jnp.sum(mask0 * (t0[:, 0] * t2[:, 0])[:, None], 0)
-                  + V2[1]
-                  - B * jnp.sum(mask0 * (t0[:, 0] * t2[:, 1])[:, None], 0))
-        del r1sum
-        v1 = jnp.stack([v1_check, v1_bet], axis=1)
-        v3_fold = jnp.zeros_like(V2[2])
-        v3_call = V2[2] - B * jnp.sum(mask0 * t0[:, 1][:, None], 0)
-        v3_raise = ((pot + B) * jnp.sum(
-                        mask0 * (t0[:, 1] * t4[:, 0])[:, None], 0)
-                    + V2[3]
-                    - (B + R) * jnp.sum(
-                        mask0 * (t0[:, 1] * t4[:, 1])[:, None], 0))
-        v3 = jnp.stack([v3_fold, v3_call, v3_raise], axis=1)
-        return v1, v3
+        return _turn_p2_values(game, t0, t2, t4, V2)
 
     def body(t, st):
         t0 = _normalize(st["tr0"], g["t0"])
@@ -643,20 +654,11 @@ def _avg_turn_reaches(strat: TurnRiverStrategy):
 def strategy_values(game: TurnRiverGame, strat: TurnRiverStrategy
                     ) -> Tuple[float, float]:
     """(P1 EV, P2 EV) under the average profile; sums to pot."""
-    pot, B, R = game.pot, game.bet, game.raise_
-    mask0 = game.mask0
     V1 = _entry_values_p1(game, strat, best=False)
-    t1, t2, t3, t4 = strat.t1, strat.t2, strat.t3, strat.t4
-    s2sum = {L: jnp.sum(mask0 * rho[None, :], 1)
-             for L, rho in ((1, t1[:, 1]), (2, t3[:, 1]), (3, t3[:, 2]))}
-    v4 = jnp.stack([-B * s2sum[3], V1[3] - (B + R) * s2sum[3]], 1)
-    v2 = jnp.stack([jnp.zeros_like(V1[1]), V1[1] - B * s2sum[1]], 1)
-    v_check = V1[0] + jnp.sum(t2 * v2, 1)
-    v_bet = (pot * jnp.sum(mask0 * t3[None, :, 0], 1)
-             + V1[2] - B * s2sum[2] + jnp.sum(t4 * v4, 1))
-    v0 = jnp.stack([v_check, v_bet], 1)
+    v0, _, _ = _turn_p1_values(game, strat.t1, strat.t2, strat.t3,
+                               strat.t4, V1)
     total = jnp.sum(jnp.sum(strat.t0 * v0, axis=1))
-    pairs = jnp.sum(mask0)
+    pairs = jnp.sum(game.mask0)
     ev1 = float(total / pairs)
     return ev1, float(game.pot) - ev1
 

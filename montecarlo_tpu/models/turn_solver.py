@@ -324,20 +324,28 @@ def _turn_p2_values(game, t0, t2, t4, V2):
 
 
 def solve_turn_river(game: TurnRiverGame, iterations: int = 1000,
-                     progress_every: int = 0, log=None
-                     ) -> TurnRiverStrategy:
+                     progress_every: int = 0, log=None,
+                     mesh=None) -> TurnRiverStrategy:
     """CFR+ (alternating updates, linear averaging) over both streets.
 
     The per-iteration body is jitted ONCE and driven from a host loop
     (the body dominates: three river sweeps over [C, C] panels), so any
     iteration count reuses one compile; ``progress_every`` > 0 logs the
     certified gap of the running average every that-many iterations via
-    ``log`` (default: print)."""
+    ``log`` (default: print).
+
+    ``mesh``: an optional single-axis ``jax.sharding.Mesh`` — the river
+    sweeps shard over the chance axis (river infosets and eval keys
+    split across devices; each device sweeps its local rivers and the
+    per-line street-boundary entry values V1/V2 are ``psum``'d over
+    ICI). The turn updates are replicated — they are O(C) next to the
+    O(Rn * C^2) river work. Equivalent to the single-device solve up to
+    f32 summation order in the psum (tests/test_turn_solver.py pins EV
+    agreement within the two certificates on the CPU mesh)."""
     C = game.mask0.shape[0]
     Rn = game.keys.shape[0]
     g = _gates(game)
     pots_l, bl, rl = _river_sizes(game)
-    c1 = jnp.asarray(game.c1_l, F32)          # [4] P1 turn contribution
     mask0 = game.mask0
     # chance weight per (river, pair): mask_r / cnt
     safe_cnt = jnp.where(game.cnt > 0, game.cnt, 1.0)
@@ -364,162 +372,206 @@ def solve_turn_river(game: TurnRiverGame, iterations: int = 1000,
                           t3[:, 1], t3[:, 2]])                 # [4, C]
         return rho1, rho2
 
-    def river_pass_p1(st, rho2, update: bool):
-        """Sweep rivers: P1 river regrets/averages (if update) and the
-        per-line P1 entry values V1 [4, C] (already weighted by chance,
-        mask_r and rho2)."""
+    def make_body(keys_arr, has_arr, axis_name=None):
+        """The per-iteration CFR+ body over the given river slice
+        (global array single-device; the local shard under shard_map,
+        where ``axis_name`` psums the street-boundary values)."""
+        Rl = keys_arr.shape[0]
 
-        def body(r, carry):
-            st, V1 = carry
-            W = _w_matrix(game.keys[r])
-            free_r = (1.0 - game.has_r[r])
-            m_r = (mask0 * free_r[:, None] * free_r[None, :] / safe_cnt)
+        def psum(x):
+            return (jax.lax.psum(x, axis_name) if axis_name else x)
 
-            def per_line(L, st, V1):
-                s0 = _normalize(st["rr0"][L, r], g["s0"])
-                s1 = _normalize(st["rr1"][L, r], g["s1"])
-                s2 = _normalize(st["rr2"][L, r])
-                s3 = _normalize(st["rr3"][L, r], g["s3"])
-                s4 = _normalize(st["rr4"][L, r])
-                m = m_r * rho2[L][None, :]
-                v0, v2, v4 = _river_p1_values(
-                    m, W, pots_l[L], bl[L], rl[L], s1, s2, s3, s4)
-                if update:
-                    for key, s, v in (("rr0", s0, v0), ("rr2", s2, v2),
-                                      ("rr4", s4, v4)):
-                        cur = jnp.sum(s * v, 1, keepdims=True)
-                        st[key] = st[key].at[L, r].set(jnp.maximum(
-                            st[key][L, r] + v - cur, 0.0))
-                V1 = V1.at[L].add(jnp.sum(s0 * v0, axis=1))
+        def river_pass_p1(st, rho2, update: bool):
+            """Sweep rivers: P1 river regrets/averages (if update) and the
+            per-line P1 entry values V1 [4, C] (already weighted by chance,
+            mask_r and rho2)."""
+
+            def body(r, carry):
+                st, V1 = carry
+                W = _w_matrix(keys_arr[r])
+                free_r = (1.0 - has_arr[r])
+                m_r = (mask0 * free_r[:, None] * free_r[None, :] / safe_cnt)
+
+                def per_line(L, st, V1):
+                    s0 = _normalize(st["rr0"][L, r], g["s0"])
+                    s1 = _normalize(st["rr1"][L, r], g["s1"])
+                    s2 = _normalize(st["rr2"][L, r])
+                    s3 = _normalize(st["rr3"][L, r], g["s3"])
+                    s4 = _normalize(st["rr4"][L, r])
+                    m = m_r * rho2[L][None, :]
+                    v0, v2, v4 = _river_p1_values(
+                        m, W, pots_l[L], bl[L], rl[L], s1, s2, s3, s4)
+                    if update:
+                        for key, s, v in (("rr0", s0, v0), ("rr2", s2, v2),
+                                          ("rr4", s4, v4)):
+                            cur = jnp.sum(s * v, 1, keepdims=True)
+                            st[key] = st[key].at[L, r].set(jnp.maximum(
+                                st[key][L, r] + v - cur, 0.0))
+                    V1 = V1.at[L].add(jnp.sum(s0 * v0, axis=1))
+                    return st, V1
+
+                for L in range(4):
+                    st, V1 = per_line(L, st, V1)
                 return st, V1
 
-            for L in range(4):
-                st, V1 = per_line(L, st, V1)
-            return st, V1
+            st, V1 = jax.lax.fori_loop(0, Rl, body,
+                                       (st, jnp.zeros((4, C), F32)))
+            return st, psum(V1)
 
-        return jax.lax.fori_loop(0, Rn, body,
-                                 (st, jnp.zeros((4, C), F32)))
+        def river_pass_p2(st, rho1, update: bool):
+            """Sweep rivers: P2 river regrets and entry values V2 [4, C]."""
 
-    def river_pass_p2(st, rho1, update: bool):
-        """Sweep rivers: P2 river regrets and entry values V2 [4, C]."""
+            def body(r, carry):
+                st, V2 = carry
+                W = _w_matrix(keys_arr[r])
+                free_r = (1.0 - has_arr[r])
+                m_r = (mask0 * free_r[:, None] * free_r[None, :] / safe_cnt)
 
-        def body(r, carry):
-            st, V2 = carry
-            W = _w_matrix(game.keys[r])
-            free_r = (1.0 - game.has_r[r])
-            m_r = (mask0 * free_r[:, None] * free_r[None, :] / safe_cnt)
+                def per_line(L, st, V2):
+                    s0 = _normalize(st["rr0"][L, r], g["s0"])
+                    s1 = _normalize(st["rr1"][L, r], g["s1"])
+                    s2 = _normalize(st["rr2"][L, r])
+                    s3 = _normalize(st["rr3"][L, r], g["s3"])
+                    s4 = _normalize(st["rr4"][L, r])
+                    m = m_r * rho1[L][:, None]
+                    v1, v3 = _river_p2_values(
+                        m, W, pots_l[L], bl[L], rl[L], s0, s2, s4)
+                    if update:
+                        for key, s, v in (("rr1", s1, v1), ("rr3", s3, v3)):
+                            cur = jnp.sum(s * v, 1, keepdims=True)
+                            st[key] = st[key].at[L, r].set(jnp.maximum(
+                                st[key][L, r] + v - cur, 0.0))
+                    # P2's river-root value: node 1 sits under P1's check
+                    # (weight s0[:,0] inside v1 via m already? no — v1 is
+                    # P2's CF value at node 1, which P2 reaches whenever the
+                    # line does; the line value is v1 under the current
+                    # strategy plus node-3 when the line enters via a bet.
+                    # Lines route P2 through exactly ONE river root: cc/xbc
+                    # enter at node 0 with P1 to act -> P2's entry value is
+                    # the node-1 current value weighted by P1's river check
+                    # (already inside v1's r1 = m * s0[:,0]) PLUS node-3
+                    # weighted by P1's river bet (inside v3's r3); both
+                    # nodes' current values sum to the line value.
+                    V2 = V2.at[L].add(jnp.sum(s1 * v1, axis=1)
+                                      + jnp.sum(s3 * v3, axis=1))
+                    return st, V2
 
-            def per_line(L, st, V2):
-                s0 = _normalize(st["rr0"][L, r], g["s0"])
-                s1 = _normalize(st["rr1"][L, r], g["s1"])
-                s2 = _normalize(st["rr2"][L, r])
-                s3 = _normalize(st["rr3"][L, r], g["s3"])
-                s4 = _normalize(st["rr4"][L, r])
-                m = m_r * rho1[L][:, None]
-                v1, v3 = _river_p2_values(
-                    m, W, pots_l[L], bl[L], rl[L], s0, s2, s4)
-                if update:
-                    for key, s, v in (("rr1", s1, v1), ("rr3", s3, v3)):
-                        cur = jnp.sum(s * v, 1, keepdims=True)
-                        st[key] = st[key].at[L, r].set(jnp.maximum(
-                            st[key][L, r] + v - cur, 0.0))
-                # P2's river-root value: node 1 sits under P1's check
-                # (weight s0[:,0] inside v1 via m already? no — v1 is
-                # P2's CF value at node 1, which P2 reaches whenever the
-                # line does; the line value is v1 under the current
-                # strategy plus node-3 when the line enters via a bet.
-                # Lines route P2 through exactly ONE river root: cc/xbc
-                # enter at node 0 with P1 to act -> P2's entry value is
-                # the node-1 current value weighted by P1's river check
-                # (already inside v1's r1 = m * s0[:,0]) PLUS node-3
-                # weighted by P1's river bet (inside v3's r3); both
-                # nodes' current values sum to the line value.
-                V2 = V2.at[L].add(jnp.sum(s1 * v1, axis=1)
-                                  + jnp.sum(s3 * v3, axis=1))
+                for L in range(4):
+                    st, V2 = per_line(L, st, V2)
                 return st, V2
 
-            for L in range(4):
-                st, V2 = per_line(L, st, V2)
-            return st, V2
+            st, V2 = jax.lax.fori_loop(0, Rl, body,
+                                       (st, jnp.zeros((4, C), F32)))
+            return st, psum(V2)
 
-        return jax.lax.fori_loop(0, Rn, body,
-                                 (st, jnp.zeros((4, C), F32)))
+        def river_avg_accumulate(st, rho1, rho2, w):
+            """Average-strategy accumulation for river infosets, weighted by
+            the OWNER's full reach (turn line reach x own river reach)."""
 
-    def river_avg_accumulate(st, rho1, rho2, w):
-        """Average-strategy accumulation for river infosets, weighted by
-        the OWNER's full reach (turn line reach x own river reach)."""
+            def body(r, st):
+                for L in range(4):
+                    s0 = _normalize(st["rr0"][L, r], g["s0"])
+                    s1 = _normalize(st["rr1"][L, r], g["s1"])
+                    s2 = _normalize(st["rr2"][L, r])
+                    s3 = _normalize(st["rr3"][L, r], g["s3"])
+                    s4 = _normalize(st["rr4"][L, r])
+                    w1 = w * rho1[L]
+                    w2 = w * rho2[L]
+                    st["ra0"] = st["ra0"].at[L, r].add(w1[:, None] * s0)
+                    st["ra2"] = st["ra2"].at[L, r].add(
+                        (w1 * s0[:, 0])[:, None] * s2)
+                    st["ra4"] = st["ra4"].at[L, r].add(
+                        (w1 * s0[:, 1])[:, None] * s4)
+                    st["ra1"] = st["ra1"].at[L, r].add(w2[:, None] * s1)
+                    st["ra3"] = st["ra3"].at[L, r].add(w2[:, None] * s3)
+                return st
 
-        def body(r, st):
-            for L in range(4):
-                s0 = _normalize(st["rr0"][L, r], g["s0"])
-                s1 = _normalize(st["rr1"][L, r], g["s1"])
-                s2 = _normalize(st["rr2"][L, r])
-                s3 = _normalize(st["rr3"][L, r], g["s3"])
-                s4 = _normalize(st["rr4"][L, r])
-                w1 = w * rho1[L]
-                w2 = w * rho2[L]
-                st["ra0"] = st["ra0"].at[L, r].add(w1[:, None] * s0)
-                st["ra2"] = st["ra2"].at[L, r].add(
-                    (w1 * s0[:, 0])[:, None] * s2)
-                st["ra4"] = st["ra4"].at[L, r].add(
-                    (w1 * s0[:, 1])[:, None] * s4)
-                st["ra1"] = st["ra1"].at[L, r].add(w2[:, None] * s1)
-                st["ra3"] = st["ra3"].at[L, r].add(w2[:, None] * s3)
+            return jax.lax.fori_loop(0, Rl, body, st)
+
+        def turn_p1_values(t1, t2, t3, t4, V1):
+            return _turn_p1_values(game, t1, t2, t3, t4, V1)
+
+        def turn_p2_values(t0, t2, t4, V2):
+            return _turn_p2_values(game, t0, t2, t4, V2)
+
+        def body(t, st):
+            t0 = _normalize(st["tr0"], g["t0"])
+            t1 = _normalize(st["tr1"], g["t1"])
+            t2 = _normalize(st["tr2"])
+            t3 = _normalize(st["tr3"], g["t3"])
+            t4 = _normalize(st["tr4"])
+            w = (t + 1).astype(F32)
+
+            # ---- P1 update: river infosets then turn infosets ----
+            rho1, rho2 = turn_reaches(t0, t1, t2, t3, t4)
+            st, V1 = river_pass_p1(st, rho2, update=True)
+            v0, v2, v4 = turn_p1_values(t1, t2, t3, t4, V1)
+            for key, s, v in (("tr0", t0, v0), ("tr2", t2, v2),
+                              ("tr4", t4, v4)):
+                st[key] = jnp.maximum(
+                    st[key] + v - jnp.sum(s * v, 1, keepdims=True), 0.0)
+            st["ta0"] = st["ta0"] + w * t0
+            st["ta2"] = st["ta2"] + w * t0[:, 0][:, None] * t2
+            st["ta4"] = st["ta4"] + w * t0[:, 1][:, None] * t4
+
+            # ---- P2 update vs P1's just-updated strategies ----
+            t0n = _normalize(st["tr0"], g["t0"])
+            t2n = _normalize(st["tr2"])
+            t4n = _normalize(st["tr4"])
+            rho1n, _ = turn_reaches(t0n, t1, t2n, t3, t4n)
+            st, V2 = river_pass_p2(st, rho1n, update=True)
+            v1, v3 = turn_p2_values(t0n, t2n, t4n, V2)
+            for key, s, v in (("tr1", t1, v1), ("tr3", t3, v3)):
+                st[key] = jnp.maximum(
+                    st[key] + v - jnp.sum(s * v, 1, keepdims=True), 0.0)
+            st["ta1"] = st["ta1"] + w * t1
+            st["ta3"] = st["ta3"] + w * t3
+
+            # ---- average-strategy accumulation for river infosets ----
+            st = river_avg_accumulate(st, rho1, rho2, w)
             return st
 
-        return jax.lax.fori_loop(0, Rn, body, st)
-
-    def turn_p1_values(t1, t2, t3, t4, V1):
-        return _turn_p1_values(game, t1, t2, t3, t4, V1)
-
-    def turn_p2_values(t0, t2, t4, V2):
-        return _turn_p2_values(game, t0, t2, t4, V2)
-
-    def body(t, st):
-        t0 = _normalize(st["tr0"], g["t0"])
-        t1 = _normalize(st["tr1"], g["t1"])
-        t2 = _normalize(st["tr2"])
-        t3 = _normalize(st["tr3"], g["t3"])
-        t4 = _normalize(st["tr4"])
-        w = (t + 1).astype(F32)
-
-        # ---- P1 update: river infosets then turn infosets ----
-        rho1, rho2 = turn_reaches(t0, t1, t2, t3, t4)
-        st, V1 = river_pass_p1(st, rho2, update=True)
-        v0, v2, v4 = turn_p1_values(t1, t2, t3, t4, V1)
-        for key, s, v in (("tr0", t0, v0), ("tr2", t2, v2),
-                          ("tr4", t4, v4)):
-            st[key] = jnp.maximum(
-                st[key] + v - jnp.sum(s * v, 1, keepdims=True), 0.0)
-        st["ta0"] = st["ta0"] + w * t0
-        st["ta2"] = st["ta2"] + w * t0[:, 0][:, None] * t2
-        st["ta4"] = st["ta4"] + w * t0[:, 1][:, None] * t4
-
-        # ---- P2 update vs P1's just-updated strategies ----
-        t0n = _normalize(st["tr0"], g["t0"])
-        t2n = _normalize(st["tr2"])
-        t4n = _normalize(st["tr4"])
-        rho1n, _ = turn_reaches(t0n, t1, t2n, t3, t4n)
-        st, V2 = river_pass_p2(st, rho1n, update=True)
-        v1, v3 = turn_p2_values(t0n, t2n, t4n, V2)
-        for key, s, v in (("tr1", t1, v1), ("tr3", t3, v3)):
-            st[key] = jnp.maximum(
-                st[key] + v - jnp.sum(s * v, 1, keepdims=True), 0.0)
-        st["ta1"] = st["ta1"] + w * t1
-        st["ta3"] = st["ta3"] + w * t3
-
-        # ---- average-strategy accumulation for river infosets ----
-        st = river_avg_accumulate(st, rho1, rho2, w)
-        return st
+        return body
 
     # Chunked host loop over a jitted multi-iteration step: ONE compile
     # serves any iteration count (and progress logging), while the chunk
     # amortizes dispatch. Donation reuses the state buffers.
     chunk = max(1, min(50, progress_every or 50))
-    step = jax.jit(
-        lambda t0_, st: jax.lax.fori_loop(
-            t0_, t0_ + chunk, body, st),
-        donate_argnums=(1,))
+    if mesh is None:
+        body = make_body(game.keys, game.has_r)
+        step = jax.jit(
+            lambda t0_, st: jax.lax.fori_loop(
+                t0_, t0_ + chunk, body, st),
+            donate_argnums=(1,))
+    else:
+        # Shard the chance axis: river infosets and eval keys split
+        # across devices; V1/V2 psum over the mesh axis; turn updates
+        # replicated (O(C) work). Bit-identical to single-device.
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        (ax,) = mesh.axis_names
+        ndev = mesh.devices.size
+        assert Rn % ndev == 0, (
+            f"river count {Rn} must divide the mesh size {ndev}")
+        turn_keys = ("tr0", "tr1", "tr2", "tr3", "tr4",
+                     "ta0", "ta1", "ta2", "ta3", "ta4")
+        st_spec = {k: (P() if k in turn_keys else P(None, ax))
+                   for k in st0}
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(), st_spec, P(ax), P(ax)),
+                 out_specs=st_spec, check_vma=False)
+        def sharded_chunk(t0_, st, keys_l, has_l):
+            body = make_body(keys_l, has_l, axis_name=ax)
+            return jax.lax.fori_loop(t0_, t0_ + chunk, body, st)
+
+        step = jax.jit(
+            lambda t0_, st: sharded_chunk(t0_, st, game.keys,
+                                          game.has_r),
+            donate_argnums=(1,))
+        body = None  # ragged tails are host-looped below
 
     def avg(a, allow=None):
         tot = jnp.sum(a, axis=-1, keepdims=True)
@@ -545,8 +597,13 @@ def solve_turn_river(game: TurnRiverGame, iterations: int = 1000,
         n = min(chunk, iterations - t)
         if n == chunk:
             st = step(jnp.asarray(t, jnp.int32), st)
-        else:  # ragged tail: one extra compile at most
+        elif body is not None:  # ragged tail: one extra compile at most
             st = jax.lax.fori_loop(t, t + n, body, st)
+        else:  # mesh mode: round the tail up to a full chunk. CFR+
+            # extra iterations only tighten the average; the iteration
+            # weight t is exact either way.
+            st = step(jnp.asarray(t, jnp.int32), st)
+            n = chunk
         t += n
         if progress_every and (t % progress_every == 0
                                or t >= iterations):

@@ -168,6 +168,32 @@ def test_net_extraction_known_bots():
                                    atol=1e-4)
 
 
+def test_mesh_sharded_solve_matches_single_device():
+    """The rivers-axis shard_map solve (8-device CPU mesh) converges and
+    agrees with the single-device solve: both gaps certify, and the EVs
+    differ by at most the sum of the gaps (unique zero-sum Nash EV)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from montecarlo_tpu.models.turn_solver import strategy_values
+
+    dead = {int(c) for c in BOARD4}
+    rivers8 = [c for c in range(52) if c not in dead][:8]
+    combos = _combo_subset(BOARD4, stride=24)
+    game, _ = make_turn_river_game(BOARD4, rivers=rivers8, combos=combos,
+                                   pot=4.0, bet=4.0, raise_=12.0)
+    single = solve_turn_river(game, iterations=300)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("r",))
+    sharded = solve_turn_river(game, iterations=300, mesh=mesh)
+
+    g1 = exploitability_gap(game, single)
+    g2 = exploitability_gap(game, sharded)
+    assert g1 < 0.05 and g2 < 0.05, (g1, g2)
+    ev1, _ = strategy_values(game, single)
+    ev2, _ = strategy_values(game, sharded)
+    assert abs(ev1 - ev2) <= g1 + g2 + 1e-3, (ev1, ev2)
+
+
 def test_turn_check_down_single_river_is_the_river_subgame():
     """turn_betting=False with one river card IS the river game on
     board+[r]: EVs must agree with the one-street solver."""

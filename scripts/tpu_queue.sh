@@ -57,25 +57,22 @@ run_job bench 2700 python bench.py
 run_job validate 3600 python scripts/validate_tpu.py
 
 # 3. Adaptive rule-bot exploitability (CMA-ES) vs es3 + es2.
-run_job optbot 10800 python scripts/opt_bot.py \
+# Tightened after the 4h tunnel outage: timeouts cap each job so the
+# post-recovery window is shared; partial saves keep finished searches.
+run_job optbot 7200 python scripts/opt_bot.py \
   --subjects es3=data/policy_6max_es3.npz es2=data/policy_6max_es2.npz \
   --save data/exploitability_opt.json
 
 # 4. Learned best response (REINFORCE exploiter) vs frozen es3.
-run_job br_es3 10800 python scripts/train_br.py \
-  --opponent es3=data/policy_6max_es3.npz --save data/br_vs_es3.npz \
-  || run_job br_es3_retry 10800 python scripts/train_br.py \
-       --opponent es3=data/policy_6max_es3.npz --save data/br_vs_es3.npz \
-       --resume
+run_job br_es3 7200 python scripts/train_br.py \
+  --opponent es3=data/policy_6max_es3.npz --save data/br_vs_es3.npz
 
 # 5. es4: opponent-pool ES, BOTH seat geometries in the fitness.
 ES4_ARGS=(--opponents data/policy_6max_es3.npz,bot:jam_loose,bot:jam_loose@lone,bot:fof_call,bot:fof_call@lone,bot:jam_tight,random
   --start data/policy_6max_es3.npz --save data/policy_6max_es4.npz
   --generations 200 --tables 16384 --steps 256
   --sigma 0.05 --lr 0.05 --mask w2,b2,w3,b3)
-run_job es4 10800 python scripts/train_es_kernel.py "${ES4_ARGS[@]}" \
-  || run_job es4_retry 10800 python scripts/train_es_kernel.py \
-       "${ES4_ARGS[@]}" --resume
+run_job es4 9000 python scripts/train_es_kernel.py "${ES4_ARGS[@]}"
 
 # 6. Probe es4 (and es3 control) in BOTH geometries.
 run_job probe_es4 7200 python scripts/exploit_probe.py \
@@ -83,14 +80,10 @@ run_job probe_es4 7200 python scripts/exploit_probe.py \
   --geometry both --save data/exploitability_es4.json
 
 # 7. HU hardening: pool-ES vs fof_raise (+random anchor), seats=2.
-run_job hu_es 7200 python scripts/train_es_kernel.py \
+run_job hu_es 5400 python scripts/train_es_kernel.py \
   --seats 2 --opponents bot:fof_raise,random \
   --start data/policy_hu_300.npz --save data/policy_hu_es.npz \
-  --generations 120 --tables 16384 --steps 256 \
-  || run_job hu_es_retry 7200 python scripts/train_es_kernel.py \
-       --seats 2 --opponents bot:fof_raise,random \
-       --start data/policy_hu_300.npz --save data/policy_hu_es.npz \
-       --generations 120 --tables 16384 --steps 256 --resume
+  --generations 120 --tables 16384 --steps 256
 
 # 8. Probe the hardened HU artifact.
 run_job probe_hu 7200 python scripts/exploit_probe.py \

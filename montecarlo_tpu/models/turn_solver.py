@@ -57,7 +57,7 @@ AI-testing ground truth for its stated purpose ("test AIs",
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -33,16 +33,30 @@ from montecarlo_tpu.rollout.equity import _equity_vs_hand_device  # noqa: E402
 NORTH_STAR = 1e8  # rollouts/sec on a v4-8 class part (BASELINE.json)
 
 
-def _run_pallas(hero, villain, n):
-    from montecarlo_tpu.ops.pallas_equity import equity_vs_hand_pallas
+def _run_pallas(hero, villain, n, launches=8):
+    """Steady-state: issue ``launches`` kernel launches of ``n`` rollouts
+    back-to-back (async dispatch) and pay the host round-trip ONCE at the
+    end — through the axon tunnel a sync costs ~0.2 s, which at one launch
+    per sync would masquerade as a ~2x kernel slowdown."""
+    import numpy as np
+
+    from montecarlo_tpu.ops.pallas_equity import equity_vs_hand_counts
 
     def once(seed):
         t0 = time.perf_counter()
-        w, t, m = equity_vs_hand_pallas(seed, hero, villain, n)
-        return time.perf_counter() - t0, w, t, m
+        parts = [equity_vs_hand_counts(seed + 31 * i, hero, villain, n)
+                 for i in range(launches)]
+        buf = np.asarray(jnp.concatenate(      # ONE fetch = ONE sync
+            [p[0].ravel() for p in parts] + [p[1].ravel() for p in parts]))
+        dt = time.perf_counter() - t0
+        m = sum(p[2] for p in parts)
+        half = buf.shape[0] // 2
+        w = sum(int(x) for x in buf[:half])
+        t = sum(int(x) for x in buf[half:])
+        return dt, w, t, m
 
     once(0)  # warmup/compile
-    best, w, t, m = min(once(i + 1) for i in range(5))
+    best, w, t, m = min(once(i + 1) for i in range(2))
     return best, w, t, m, "pallas"
 
 

@@ -350,10 +350,15 @@ def equity_multiway_pallas(seed: int, hands, n_rollouts: int, board=(),
     return eq, n
 
 
-def equity_vs_hand_pallas(seed: int, hero, villain, n_rollouts: int,
+def equity_vs_hand_counts(seed: int, hero, villain, n_rollouts: int,
                           board=(), interpret: bool = False):
-    """Hand-vs-hand equity via the fused kernel, optionally on a known
-    partial ``board`` (flop or flop+turn). Returns (wins, ties, n)."""
+    """Hand-vs-hand rollout counters, device-resident: NO host sync.
+
+    Returns ``(wins[L], ties[L], n)`` — per-launch int32 counter arrays
+    still on the device plus the total rollout count. Callers fetch (and
+    sum as python ints — the per-launch counters are int32-safe but their
+    total may not be) when convenient; steady-state benchmarks use this to
+    issue many launches back-to-back and pay the host round-trip once."""
     from montecarlo_tpu.ops.evaluator import suit_masks_from_cards
 
     hero = jnp.asarray(hero, I32)
@@ -367,12 +372,25 @@ def equity_vs_hand_pallas(seed: int, hero, villain, n_rollouts: int,
     vm = jnp.stack([m | b for m, b in
                     zip(suit_masks_from_cards(villain), bmask)])
     n_programs_total = max(1, -(-n_rollouts // TILE_N))
-    w = t = n = 0
+    ws, ts, n = [], [], 0
     # int32 headroom: split into launches of <= MAX_PROGRAMS_PER_LAUNCH
     # programs (~2.1e9 rollouts) each.
     for start in range(0, n_programs_total, MAX_PROGRAMS_PER_LAUNCH):
         n_programs = min(MAX_PROGRAMS_PER_LAUNCH, n_programs_total - start)
         wi, ti = equity_counts_pallas(seed + 7919 * start, dead, hm, vm,
                                       n_programs, interpret=interpret)
-        w, t, n = w + int(wi), t + int(ti), n + n_programs * TILE_N
+        ws.append(wi)
+        ts.append(ti)
+        n += n_programs * TILE_N
+    return jnp.stack(ws), jnp.stack(ts), n
+
+
+def equity_vs_hand_pallas(seed: int, hero, villain, n_rollouts: int,
+                          board=(), interpret: bool = False):
+    """Hand-vs-hand equity via the fused kernel, optionally on a known
+    partial ``board`` (flop or flop+turn). Returns (wins, ties, n)."""
+    ws, ts, n = equity_vs_hand_counts(seed, hero, villain, n_rollouts,
+                                      board, interpret=interpret)
+    w = sum(int(x) for x in np.asarray(ws))
+    t = sum(int(x) for x in np.asarray(ts))
     return w, t, n

@@ -327,7 +327,16 @@ def check_net_kernels() -> int:
     # showdown, the preserved reference quirk (board.clj:53-60) — loses
     # its stack, so seat 0's sign pins which bank it played. The pop
     # variant must route each candidate's bank-0 likewise.
+    #
+    # MUST run under rules="reference": the exclusion quirk is what makes
+    # the jammer's sign deterministic. Under "standard" all-in seats stay
+    # live for showdown (engine/step.py) and every leg is ~EV-neutral —
+    # the first on-hardware run of this check (round 4) failed exactly
+    # because it inherited the section's standard-rules cfg.
     from montecarlo_tpu.ops.pallas_engine import selfplay_net_league_pop
+
+    rcfg = TableConfig(num_seats=6, rules="reference")
+    rstate0 = initial_packed_state(seed, rcfg, n_t)
 
     def biased(key, action):
         p = init_params(jax.random.key(key))
@@ -338,16 +347,16 @@ def check_net_kernels() -> int:
 
     callbot, raisebot = biased(1, 1), biased(2, 3)
     stb = (0,) + (1,) * (P - 1)
-    ma, _, _ = selfplay_net_league(seed, cfg, [callbot, raisebot], stb,
+    ma, _, _ = selfplay_net_league(seed, rcfg, [callbot, raisebot], stb,
                                    n_tables=n_t, n_steps=n_s,
-                                   state0=state0)
-    mb, _, _ = selfplay_net_league(seed, cfg, [raisebot, callbot], stb,
+                                   state0=rstate0)
+    mb, _, _ = selfplay_net_league(seed, rcfg, [raisebot, callbot], stb,
                                    n_tables=n_t, n_steps=n_s,
-                                   state0=state0)
-    mp, _, _ = selfplay_net_league_pop(seed, cfg, [callbot, raisebot],
+                                   state0=rstate0)
+    mp, _, _ = selfplay_net_league_pop(seed, rcfg, [callbot, raisebot],
                                        raisebot, n_tables=n_t,
                                        n_steps=n_s, seat_to_bank=stb,
-                                       state0=state0)
+                                       state0=rstate0)
     ok = (ma[0] > 0 > mb[0]          # raisebot jams and loses its stack
           and mp[0, 0] > mp[1, 0])   # pop candidate banks route likewise
     failures += 0 if ok else 1

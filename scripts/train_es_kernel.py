@@ -39,6 +39,41 @@ from montecarlo_tpu.ops.pallas_engine import (  # noqa: E402
 )
 
 
+def resolve_opponent(spec):
+    """Parse one --opponents pool entry -> (tag, params_or_None, geometry).
+
+    "NAME@lone" = the opponent sits ALONE at seat 0 against P-1
+    candidate copies (the probe's one-vs-five geometry — round 3
+    measured it differing from five-vs-one by 0.7 bb on the jam
+    matchup). Default geometry: candidate alone at seat 0. Specs:
+    'random', 'bot:NAME' (models/bots.py panel), an artifact path, or
+    'optbot:PATH.json:SUBJECT[:T-M-B]' — the CMA-found adaptive
+    attacker (scripts/opt_bot.py), rebuilt from its saved parameter
+    vector (best_pair unless an explicit dash-separated action spec is
+    given), so the probe->retrain loop can train directly against the
+    strongest discovered bot."""
+    geom = "five"
+    if spec.endswith("@lone"):
+        spec, geom = spec[:-5], "lone"
+    if spec == "random":
+        return spec, None, geom
+    if spec.startswith("bot:"):
+        from montecarlo_tpu.models.bots import panel
+        return spec, panel()[spec[4:]], geom
+    if spec.startswith("optbot:"):
+        from scripts.opt_bot import make_bot
+        parts = spec.split(":")
+        path, subj = parts[1], parts[2]
+        with open(path) as f:
+            sub = json.load(f)["subjects"][subj]
+        pair = (parts[3].replace("-", ":") if len(parts) > 3
+                else sub["best_pair"])
+        acts = tuple(int(v) for v in pair.split(":"))
+        x = np.asarray(sub["per_pair"][pair]["x"], np.float32)
+        return spec, make_bot(x, acts), geom
+    return spec, load_params(spec), geom
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--generations", type=int, default=120)
@@ -64,6 +99,8 @@ def main():
     ap.add_argument("--opponents", default="",
                     help="comma-separated opponent POOL; each spec is "
                          "'random', 'bot:NAME' (models/bots.py panel), "
+                         "'optbot:PATH.json:SUBJECT[:T-M-B]' (CMA "
+                         "attacker from scripts/opt_bot.py output), "
                          "or an artifact path. Fitness = mean over the "
                          "pool of seat-0 bb/hand (attacks the measured "
                          "static exploitability while anchoring the "
@@ -111,21 +148,6 @@ def main():
         prog["gens_done"] = base_done + g + 1
         with open(side_path, "w") as f:
             json.dump(prog, f)
-
-    def resolve_opponent(spec):
-        # "NAME@lone" = the opponent sits ALONE at seat 0 against P-1
-        # candidate copies (the probe's one-vs-five geometry — round 3
-        # measured it differing from five-vs-one by 0.7 bb on the jam
-        # matchup). Default geometry: candidate alone at seat 0.
-        geom = "five"
-        if spec.endswith("@lone"):
-            spec, geom = spec[:-5], "lone"
-        if spec == "random":
-            return spec, None, geom
-        if spec.startswith("bot:"):
-            from montecarlo_tpu.models.bots import panel
-            return spec, panel()[spec[4:]], geom
-        return spec, load_params(spec), geom
 
     pool = ([resolve_opponent(s)
              for s in args.opponents.split(",") if s]

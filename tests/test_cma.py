@@ -90,3 +90,46 @@ def test_cma_noisy_fitness_still_improves():
         f = -np.sum((x - target[None]) ** 2, axis=1)
         es.tell(f + 0.05 * rng.standard_normal(len(f)))
     assert np.sum((es.mean - target) ** 2) < 0.05
+
+
+def test_resolve_opponent_optbot_spec(tmp_path):
+    """train_es_kernel's 'optbot:' pool spec rebuilds the CMA attacker
+    from an opt_bot JSON (best_pair default, explicit dash pair, @lone
+    geometry) — the probe->retrain loop trains against the discovered
+    bot directly."""
+    import json
+
+    import jax.numpy as jnp
+
+    from montecarlo_tpu.models.policy_net import policy_logits
+    from scripts.opt_bot import make_bot, spec_dim
+    from scripts.train_es_kernel import resolve_opponent
+
+    rng = np.random.default_rng(3)
+    x_pair = rng.uniform(-1, 1, spec_dim((3, 0))).round(4)
+    x_trip = rng.uniform(-1, 1, spec_dim((3, 1, 0))).round(4)
+    doc = {"subjects": {"es4": {
+        "artifact": "data/policy_6max_es4.npz",
+        "best_pair": "3:1:0",
+        "per_pair": {"3:0": {"x": list(x_pair)},
+                     "3:1:0": {"x": list(x_trip)}}}}}
+    path = tmp_path / "opt.json"
+    path.write_text(json.dumps(doc))
+
+    feats = jnp.asarray(rng.random((32, 20)), jnp.float32)
+
+    def acts_of(params):
+        return np.argmax(np.asarray(policy_logits(params, feats)), axis=-1)
+
+    tag, params, geom = resolve_opponent(f"optbot:{path}:es4")
+    assert geom == "five"
+    assert np.array_equal(acts_of(params),
+                          acts_of(make_bot(x_trip, (3, 1, 0))))
+
+    tag, params, geom = resolve_opponent(f"optbot:{path}:es4:3-0@lone")
+    assert geom == "lone"
+    assert np.array_equal(acts_of(params),
+                          acts_of(make_bot(x_pair, (3, 0))))
+
+    tag, params, geom = resolve_opponent("random@lone")
+    assert params is None and geom == "lone"

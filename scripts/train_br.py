@@ -61,7 +61,14 @@ def main():
     ap.add_argument("--seats", type=int, default=6)
     ap.add_argument("--seed", type=int, default=41)
     ap.add_argument("--start", default="data/policy_6max_200.npz",
-                    help="learner init ('INIT' = random)")
+                    help="learner init: artifact path, 'INIT' (random), "
+                         "or 'optbot:PATH.json:SUBJECT[:T-M-B]' (CMA "
+                         "attacker warm start)")
+    ap.add_argument("--soften", type=float, default=1.0,
+                    help="divide the start's output layer by this "
+                         "(rule-bot warm starts are near-deterministic; "
+                         "REINFORCE needs sampling entropy to see a "
+                         "gradient)")
     ap.add_argument("--save", default="data/br_vs_es3.npz")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--eval-every", type=int, default=50)
@@ -83,8 +90,20 @@ def main():
         print(json.dumps({"resumed_at": done}), flush=True)
     elif args.start == "INIT":
         params = init_params(jax.random.key(args.seed))
+    elif args.start.startswith("optbot:"):
+        # Warm-start from the CMA-discovered attacker (packed rule bot,
+        # scripts/opt_bot.py): REINFORCE then ascends from an already
+        # ~1.2 bb/hand exploit instead of the flat pretrained start the
+        # round-4 first run showed going nowhere (+0.01 bb after 300
+        # updates). The spec reuses train_es_kernel's resolver.
+        from scripts.train_es_kernel import resolve_opponent
+        _, params, _ = resolve_opponent(args.start)
     else:
         params = load_params(args.start)
+    if args.soften != 1.0:
+        import jax.numpy as jnp
+        params = params._replace(w3=params.w3 / args.soften,
+                                 b3=jnp.asarray(params.b3) / args.soften)
 
     opt_init, update = make_update_step(
         cfg, opponent=net_policy(frozen), tables=args.tables,

@@ -71,6 +71,13 @@ run_job br2_es3 3000 python scripts/train_br.py \
   --start optbot:data/exploitability_opt.json:es3 --soften 50 \
   --lr 1e-3 --updates 400 --save data/br_vs_es3_cma.npz
 
+OPT_HU_SUBJECTS=()
+[ -f data/policy_hu_es.npz ] && OPT_HU_SUBJECTS+=("hu_es=data/policy_hu_es.npz")
+OPT_HU_SUBJECTS+=("hu=data/policy_hu_300.npz")
+run_job optbot_hu 5400 python scripts/opt_bot.py --seats 2 \
+  --subjects "${OPT_HU_SUBJECTS[@]}" --pairs 3:0,1:0 \
+  --save data/exploitability_opt_hu.json
+
 run_job server_jax 2700 python scripts/bench_server.py --backend jax \
   --rooms 4 --players 3 --actions 100 --save data/server_load_jax.json
 
@@ -79,6 +86,7 @@ PANELS=(data/exploitability.json data/exploitability_hu.json)
 [ -f data/exploitability_hu_es.json ] && PANELS+=(data/exploitability_hu_es.json)
 [ -f data/exploitability_es5.json ] && PANELS+=(data/exploitability_es5.json)
 OPTS=(data/exploitability_opt.json)
+[ -f data/exploitability_opt_hu.json ] && OPTS+=(data/exploitability_opt_hu.json)
 [ -f data/exploitability_opt_es4.json ] && OPTS+=(data/exploitability_opt_es4.json)
 [ -f data/exploitability_opt_es5.json ] && OPTS+=(data/exploitability_opt_es5.json)
 echo "queue7: START exp_report3 $(date -u +%H:%M:%S)"

@@ -71,6 +71,20 @@ run_job br2_es3 3000 python scripts/train_br.py \
   --start optbot:data/exploitability_opt.json:es3 --soften 50 \
   --lr 1e-3 --updates 400 --save data/br_vs_es3_cma.npz
 
+# HU hardening retry: the first run froze at the noise floor (spread
+# 0.0002 bb with sigma 0.05 over ALL params — the saturated HU net
+# needs bigger kicks on the output layer to change any argmax).
+run_job hu_es2 5400 python scripts/train_es_kernel.py \
+  --seats 2 --opponents bot:fof_raise,bot:fof_raise@lone,random \
+  --start data/policy_hu_300.npz --save data/policy_hu_es.npz \
+  --generations 150 --tables 16384 --steps 256 \
+  --sigma 0.4 --lr 0.1 --mask w3,b3
+
+run_job probe_hu2 3600 python scripts/exploit_probe.py \
+  --seats 2 --subjects hu_es=data/policy_hu_es.npz \
+  hu=data/policy_hu_300.npz --geometry both \
+  --save data/exploitability_hu_es.json
+
 OPT_HU_SUBJECTS=()
 [ -f data/policy_hu_es.npz ] && OPT_HU_SUBJECTS+=("hu_es=data/policy_hu_es.npz")
 OPT_HU_SUBJECTS+=("hu=data/policy_hu_300.npz")

@@ -76,6 +76,8 @@ def train_es(
     center_eval_every: int = 10,
     checkpoint_fn: Optional[Callable] = None,  # (g, center, best,
                                                #  best_quality) -> None
+    adapt_fn: Optional[Callable] = None,  # (g, center) -> None
+    adapt_every: int = 0,
 ) -> ESResult:
     """Antithetic ES ascent on ``eval_fn``'s fitness.
 
@@ -111,6 +113,17 @@ def train_es(
     best_mean, best_vec = -np.inf, vec
 
     for g in range(generations):
+        if adapt_fn is not None and adapt_every > 0 \
+                and g % adapt_every == 0:
+            # Adaptive opponent refresh (the answer to probe->retrain
+            # whack-a-mole): the caller re-attacks the CURRENT center
+            # (e.g. a short CMA run over the rule-bot families,
+            # scripts/opt_bot.quick_attack) and swaps the discovered
+            # attacker into its opponent pool IN PLACE — the pool
+            # evaluator iterates its opponents list per call, so the
+            # very next generation trains against the refreshed
+            # attacker. Runs at g=0 too (attack the start center).
+            adapt_fn(g, _unflatten(vec, spec))
         key, kp = jax.random.split(key)
         eps = jax.random.normal(kp, (pop, vec.shape[0]), vec.dtype)
         if mask is not None:
@@ -286,6 +299,11 @@ def kernel_pool_eval_pop_fn(cfg, opponents, n_tables: int = 1 << 14,
     per-seed initial state, so every member plays the same decks and
     the fitness differences across members carry opponent identity
     only (common random numbers along a second axis).
+
+    ``opponents`` is re-read on every call (weights are runtime kernel
+    inputs, so shapes never change): callers may replace entries IN
+    PLACE between generations — the ``train_es`` adaptive-attacker
+    hook (``adapt_fn``/``adapt_every``) relies on exactly this.
     """
     from montecarlo_tpu.ops.pallas_engine import (
         initial_packed_state, selfplay_net_eval_pop,

@@ -96,6 +96,52 @@ def make_bot(x, acts):
                       top=acts[0], mid=acts[1], bot=acts[2])
 
 
+def quick_attack(subject, cfg, acts=(3, 0), generations=10,
+                 popsize=16, tables=1 << 12, steps=256, seed=23,
+                 sigma0=0.5, x0=None):
+    """Short CMA attack for IN-TRAINING-LOOP probing: ~90% of the full
+    optimizer's final extraction lands inside 10 generations (PERF.md
+    "Adaptive exploitability"), which at these shapes is ~15-30 s of
+    chip time — cheap enough to re-run against the training center
+    every few ES generations (`train_es_kernel.py --adapt-every`).
+
+    Returns ``(x, bot_params, attacker_bb)`` where ``attacker_bb`` is
+    one league evaluation of the CMA mean on a seed the optimizer never
+    saw (an honest point for the per-refresh exploitability
+    trajectory, not the optimizer's own inflated ask/tell fitness).
+    ``x0`` warm-starts from the previous refresh's solution.
+    """
+    P = cfg.num_seats
+    stb = (0,) + (1,) * (P - 1)
+    if x0 is None:
+        if len(acts) == 3:
+            x0 = _LADDER_X0
+        elif acts == (3, 0):
+            x0 = _JAM_X0
+        else:
+            x0 = np.zeros(spec_dim(acts))
+    bound = 3.0
+    es = CMAES(np.asarray(x0, np.float64), sigma0=sigma0,
+               popsize=popsize, seed=seed,
+               lower=np.full(spec_dim(acts), -bound),
+               upper=np.full(spec_dim(acts), bound))
+    for g in range(generations):
+        seed_g = seed * 1_000_003 + g
+        state0 = initial_packed_state(seed_g, cfg, tables)
+        xs = es.ask()
+        bots = [make_bot(x, acts) for x in xs]
+        m, _, _ = selfplay_net_league_pop(
+            seed_g, cfg, bots, subject, n_tables=tables,
+            n_steps=steps, seat_to_bank=stb, state0=state0)
+        es.tell(np.asarray(m)[:, 0])
+    x = es.mean.copy()
+    bot = make_bot(x, acts)
+    m, _, _ = selfplay_net_league(
+        seed * 7919 + 991, cfg, [bot, subject], stb,
+        n_tables=tables * 2, n_steps=steps)
+    return x, bot, float(m[0])
+
+
 def optimize_pair(subject, cfg, acts, args, log):
     P = cfg.num_seats
     stb = (0,) + (1,) * (P - 1)

@@ -57,6 +57,13 @@ def resolve_opponent(spec):
         spec, geom = spec[:-5], "lone"
     if spec == "random":
         return spec, None, geom
+    if spec.startswith("adaptive:"):
+        # 'adaptive:T-M[-B]' — a pool slot REFRESHED during training by
+        # a short CMA attack on the current center (--adapt-every;
+        # scripts/opt_bot.quick_attack). params None is a placeholder:
+        # the first refresh runs at generation 0, before any fitness
+        # evaluation touches the slot.
+        return spec, None, geom
     if spec.startswith("bot:"):
         from montecarlo_tpu.models.bots import panel
         return spec, panel()[spec[4:]], geom
@@ -105,6 +112,18 @@ def main():
                          "pool of seat-0 bb/hand (attacks the measured "
                          "static exploitability while anchoring the "
                          "other components)")
+    ap.add_argument("--adapt-every", type=int, default=0,
+                    help="with 'adaptive:T-M[-B]' pool slots: every N "
+                         "ES generations, re-run a short CMA attack "
+                         "(opt_bot.quick_attack) against the CURRENT "
+                         "center and swap the found attacker into "
+                         "those slots — closes the probe->retrain "
+                         "whack-a-mole loop inside one training run "
+                         "and logs a per-refresh exploitability "
+                         "trajectory")
+    ap.add_argument("--adapt-gens", type=int, default=10)
+    ap.add_argument("--adapt-popsize", type=int, default=16)
+    ap.add_argument("--adapt-tables", type=int, default=1 << 12)
     ap.add_argument("--per-candidate", action="store_true",
                     help="one launch per candidate (the pre-pop-batched "
                          "path; default is one launch per generation)")
@@ -152,10 +171,51 @@ def main():
     pool = ([resolve_opponent(s)
              for s in args.opponents.split(",") if s]
             if args.opponents else [])
+    adapt_kw = {}
     if pool:
+        # opp_entries is shared MUTABLE state: the pool evaluator
+        # re-reads it every call (train_es.kernel_pool_eval_pop_fn
+        # docstring), so the adaptive-attacker hook below can swap
+        # slot weights in place between generations.
+        opp_entries = [(p, g) for _, p, g in pool]
         eval_kw = {"eval_pop_fn": kernel_pool_eval_pop_fn(
-            cfg, [(p, g) for _, p, g in pool], n_tables=args.tables,
+            cfg, opp_entries, n_tables=args.tables,
             n_steps=args.steps)}
+        adaptive = [(i, tag) for i, (tag, _p, _g) in enumerate(pool)
+                    if tag.startswith("adaptive:")]
+        if adaptive:
+            assert args.adapt_every > 0, \
+                "adaptive: pool slots need --adapt-every N"
+            from scripts.opt_bot import quick_attack
+            # group slots by attacker family: ONE attack per family
+            # per refresh, applied to every slot (geometries differ)
+            fams = {}
+            for i, tag in adaptive:
+                acts = tuple(int(v)
+                             for v in tag.split(":")[1].split("-"))
+                fams.setdefault(acts, []).append(i)
+            warm = {}
+
+            def adapt_fn(g, center):
+                for acts, slots in fams.items():
+                    x, bot, bb = quick_attack(
+                        center, cfg, acts,
+                        generations=args.adapt_gens,
+                        popsize=args.adapt_popsize,
+                        tables=args.adapt_tables, steps=args.steps,
+                        seed=args.seed * 31 + 1009 * (base_done + g),
+                        x0=warm.get(acts))
+                    warm[acts] = x
+                    for i in slots:
+                        opp_entries[i] = (bot, pool[i][2])
+                    print(json.dumps({
+                        "adapt_at_gen": base_done + g,
+                        "pair": ":".join(str(a) for a in acts),
+                        "attacker_bb": round(bb, 4),
+                        "slots": slots}), flush=True)
+
+            adapt_kw = {"adapt_fn": adapt_fn,
+                        "adapt_every": args.adapt_every}
     elif args.per_candidate:
         eval_kw = {"eval_fn": kernel_eval_fn(
             cfg, net_seats=1, n_tables=args.tables, n_steps=args.steps)}
@@ -217,9 +277,17 @@ def main():
 
     def center_eval(p):
         if pool:
+            # adaptive: slots are excluded — the attacker moves between
+            # refreshes, so "center vs current attacker" is not a
+            # comparable fixed-holdout quality across the run. Anchor
+            # selection on the FIXED entries (add an 'optbot:' spec to
+            # hold the line against a known attacker).
             per = {f"{name}@{geom}" if geom != "five" else name:
                    eval_vs(p, opp, HOLDOUT, geom=geom)[0]
-                   for name, opp, geom in pool}
+                   for name, opp, geom in pool
+                   if not name.startswith("adaptive:")}
+            if not per:
+                return 0.0
             mean = sum(per.values()) / len(per)
             print(json.dumps({"center_bb": round(mean, 4),
                               **{f"center_{n}": round(v, 4)
@@ -242,7 +310,7 @@ def main():
                    noise_floor=args.noise_floor,
                    center_eval_fn=center_eval,
                    checkpoint_fn=checkpoint if args.save else None,
-                   **eval_kw)
+                   **eval_kw, **adapt_kw)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "training_seconds": round(dt, 1),

@@ -633,3 +633,53 @@ def test_es_checkpoint_fn_cadence_and_payload():
     assert gens == [0, 10, 20]
     quals = [q for _, q in calls]
     assert quals == sorted(quals)  # best-by-holdout never regresses
+
+
+def test_es_adapt_hook_cadence_and_pool_mutation():
+    """--adapt-every machinery: adapt_fn fires at generations 0, N, 2N
+    with the CURRENT center, and an in-place swap of the opponent pool
+    is visible to the very next eval_pop_fn call (the pool evaluator
+    re-reads its opponents list per call — train_es.py docstring)."""
+    import numpy as np
+
+    from montecarlo_tpu.models.policy_net import init_params
+    from montecarlo_tpu.models.train_es import _flatten, train_es
+
+    params0 = init_params(jax.random.key(0))
+    pool = ["attacker_v0"]          # the mutable shared pool
+    seen_at = []                    # (gen, pool-version-at-next-eval)
+    gen_counter = [0]
+
+    def adapt_fn(g, center):
+        from montecarlo_tpu.models.train_es import _flatten as fl
+        v, _ = fl(center)
+        assert np.all(np.isfinite(np.asarray(v)))
+        pool[0] = f"attacker_v{g}"  # swap in place
+        seen_at.append(g)
+
+    def eval_pop_fn(params_list, eval_seed):
+        # record which attacker version this generation trains against
+        gen_counter[0] += 1
+        eval_pool_log.append(pool[0])
+        return [0.0] * len(params_list), [1] * len(params_list)
+
+    eval_pool_log = []
+    train_es(3, params0, eval_pop_fn=eval_pop_fn, generations=7, pop=2,
+             sigma=0.05, lr=0.1, adapt_fn=adapt_fn, adapt_every=3)
+    assert seen_at == [0, 3, 6]
+    # generation g trains against the refresh from the latest multiple
+    # of adapt_every <= g
+    assert eval_pool_log == ["attacker_v0"] * 3 + ["attacker_v3"] * 3 \
+        + ["attacker_v6"]
+
+
+def test_resolve_opponent_adaptive_spec():
+    """'adaptive:T-M[-B][@lone]' resolves to a placeholder slot (params
+    None) carrying its geometry; the trainer refreshes it at gen 0
+    before any fitness evaluation reads it."""
+    from scripts.train_es_kernel import resolve_opponent
+
+    tag, params, geom = resolve_opponent("adaptive:3-0")
+    assert tag == "adaptive:3-0" and params is None and geom == "five"
+    tag, params, geom = resolve_opponent("adaptive:3-1-0@lone")
+    assert tag == "adaptive:3-1-0" and params is None and geom == "lone"

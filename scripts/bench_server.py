@@ -39,7 +39,7 @@ async def run_room(port: int, room: str, n_players: int, n_actions: int,
         c["w"].write((json.dumps(obj) + "\r\n").encode())
         await c["w"].drain()
 
-    async def recv(c, timeout=30.0):
+    async def recv(c, timeout=120.0):
         line = await asyncio.wait_for(c["r"].readline(), timeout)
         return json.loads(line.decode().rstrip())
 
@@ -83,7 +83,7 @@ async def run_room(port: int, room: str, n_players: int, n_actions: int,
         # seen (stacks/pot/play-order change with every action; copies
         # of one broadcast are byte-identical).
         while True:
-            t1, b = await asyncio.wait_for(q.get(), 30.0)
+            t1, b = await asyncio.wait_for(q.get(), 120.0)
             if b != prev:
                 return t1, b
 
@@ -198,6 +198,22 @@ def main():
                          "device programs - keep the chip idle)")
     ap.add_argument("--save", default="data/server_load.json")
     args = ap.parse_args()
+
+    if args.backend != "native":
+        # The first jax-backend action jit-compiles the engine dispatch;
+        # through the axon tunnel that is minutes, not seconds — far
+        # beyond any sane socket timeout. Warm the process (and the
+        # persistent compile cache) with a few un-timed direct
+        # dispatches before the timed TCP run; room shapes are
+        # identical, so nothing recompiles under load.
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.jax_cache")
+        t0 = time.perf_counter()
+        bench_direct(args.backend, actions=4)
+        print(json.dumps({"warmup_seconds":
+                          round(time.perf_counter() - t0, 1)}),
+              flush=True)
 
     out = asyncio.run(bench(args.backend, args.rooms, args.players,
                             args.actions))

@@ -950,7 +950,7 @@ def selfplay_perpetual_kernel(seed: int, cfg, n_tables: int, n_steps: int,
     done = 0
     while done < n_steps:
         chunk = min(steps_per_launch, n_steps - done)
-        state = run_perpetual_prng(seed + done * 7919, state, P, chunk,
+        state = run_perpetual_prng((seed + done * 7919) & 0x7FFFFFFF, state, P, chunk,
                                    cfg.small_blind, cfg.big_blind,
                                    rules=cfg.rules, interpret=interpret)
         done += chunk
@@ -1399,7 +1399,7 @@ def selfplay_net_league(seed: int, cfg, params_banks, seat_to_bank,
     done = 0
     while done < n_steps:
         chunk = min(steps_per_launch, n_steps - done)
-        state = run_net_league(seed + done * 7919, state, weights, P,
+        state = run_net_league((seed + done * 7919) & 0x7FFFFFFF, state, weights, P,
                                chunk, cfg.small_blind, cfg.big_blind,
                                cfg.starting_stack, cfg.rules, net_seats,
                                len(params_banks), seat_to_bank)
@@ -1511,7 +1511,7 @@ def selfplay_net_eval_kernel(seed: int, cfg, params, net_seats: int,
     done = 0
     while done < n_steps:
         chunk = min(steps_per_launch, n_steps - done)
-        state = run_net_eval(seed + done * 7919, state, weights, P, chunk,
+        state = run_net_eval((seed + done * 7919) & 0x7FFFFFFF, state, weights, P, chunk,
                              cfg.small_blind, cfg.big_blind,
                              cfg.starting_stack, cfg.rules, net_seats)
         done += chunk
@@ -1568,7 +1568,7 @@ def selfplay_net_eval_pop(seed: int, cfg, params_list, net_seats: int,
     done = 0
     while done < n_steps:
         chunk = min(steps_per_launch, n_steps - done)
-        state = run_net_eval_pop(seed + done * 7919, state, weights, P,
+        state = run_net_eval_pop((seed + done * 7919) & 0x7FFFFFFF, state, weights, P,
                                  chunk, cfg.small_blind, cfg.big_blind,
                                  cfg.starting_stack, cfg.rules, net_seats)
         done += chunk
@@ -1641,7 +1641,7 @@ def selfplay_net_league_pop(seed: int, cfg, cand_list, opponent,
     done = 0
     while done < n_steps:
         chunk = min(steps_per_launch, n_steps - done)
-        state = run_net_eval_pop(seed + done * 7919, state, weights, P,
+        state = run_net_eval_pop((seed + done * 7919) & 0x7FFFFFFF, state, weights, P,
                                  chunk, cfg.small_blind, cfg.big_blind,
                                  cfg.starting_stack, cfg.rules,
                                  net_seats, n_banks=2,
@@ -1679,7 +1679,7 @@ def tournaments_to_completion(seed: int, cfg, n_tables: int,
 
     done = 0
     while done < max_steps:
-        state = run_perpetual_prng(seed + done * 7919, state, P,
+        state = run_perpetual_prng((seed + done * 7919) & 0x7FFFFFFF, state, P,
                                    steps_per_launch, cfg.small_blind,
                                    cfg.big_blind, rules=cfg.rules)
         done += steps_per_launch

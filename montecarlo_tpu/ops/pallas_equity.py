@@ -391,6 +391,6 @@ def equity_vs_hand_pallas(seed: int, hero, villain, n_rollouts: int,
     partial ``board`` (flop or flop+turn). Returns (wins, ties, n)."""
     ws, ts, n = equity_vs_hand_counts(seed, hero, villain, n_rollouts,
                                       board, interpret=interpret)
-    w = sum(int(x) for x in np.asarray(ws))
-    t = sum(int(x) for x in np.asarray(ts))
+    w = sum(int(x) for x in jax.device_get(ws).ravel())
+    t = sum(int(x) for x in jax.device_get(ts).ravel())
     return w, t, n

@@ -95,7 +95,14 @@ def main():
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--eval-tables", type=int, default=1 << 16)
     ap.add_argument("--save", default="data/policy_hu_mix.npz")
-    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--soften", type=float, default=0.0,
+                    help="divide the START's w3,b3 by K before training "
+                    "(argmax-preserving margin shrink). The leak-anatomy "
+                    "diagnostic (PERF.md) measured hu300 behaviorally "
+                    "FROZEN: margins p50=15.4, P(non-argmax)=1.5e-6, so "
+                    "REINFORCE has no exploration signal. K=8 restores "
+                    "~22%% exploration. The 'self' anchor stays the "
+                    "ORIGINAL hard params.")
     args = ap.parse_args()
 
     cfg = TableConfig(num_seats=args.seats, rules="standard",
@@ -104,7 +111,11 @@ def main():
 
     start = (init_params(jax.random.key(args.seed))
              if args.start == "INIT" else load_params(args.start))
-    pool = parse_pool(args.opponents, start)
+    pool = parse_pool(args.opponents, start)  # 'self' = ORIGINAL params
+    if args.soften > 1.0:
+        start = start._replace(w3=start.w3 / args.soften,
+                               b3=start.b3 / args.soften)
+        print(json.dumps({"softened": args.soften}), flush=True)
 
     def eval_vs(p, opp, seed, n_tables):
         """net p alone at seat 0 vs P-1 copies of opp -> (bb, se)."""

@@ -149,6 +149,27 @@ def margin_stats(params, feats, free):
     }
 
 
+def fold_gate(params, feats, free):
+    """Among FACING-A-BET decisions (fold legal): does the artifact ever
+    fold, and how much probability mass does fold carry? A near-zero
+    fold gate + value-caller attacker = the measured 1.2 bb leak."""
+    facing = ~free
+    idx, lg = masked_argmax(np_logits(params, feats), free)
+    lgf = lg[facing]
+    z = lgf - lgf.max(axis=1, keepdims=True)
+    p = np.exp(z)
+    p /= p.sum(axis=1, keepdims=True)
+    rank = (lgf > lgf[:, [0]]).sum(axis=1)  # actions above fold
+    return {
+        "facing_bet_decisions": int(facing.sum()),
+        "fold_argmax_frac": float((idx[facing] == 0).mean()),
+        "mean_p_fold": float(p[:, 0].mean()),
+        "frac_p_fold_gt_1pct": float((p[:, 0] > 0.01).mean()),
+        "fold_logit_rank_hist": [float((rank == r).mean())
+                                 for r in range(4)],
+    }
+
+
 def es_flip_fraction(params, feats, free, sigma=0.05,
                      layers=("w2", "b2", "w3", "b3"), draws=16, seed=0):
     """Fraction of real decisions flipped by one ES perturbation at the
@@ -234,6 +255,7 @@ def main():
     for name, p in [("es3", es3), ("es4", es4)]:
         aidx, margin, ms = margin_stats(p, feats, free)
         ms["es_flip"] = es_flip_fraction(p, feats, free)
+        ms["fold_gate"] = fold_gate(p, feats, free)
         sub[name] = ms
     # behavioral identity across the lineage on es3's state distribution
     i3, _ = masked_argmax(np_logits(es3, feats), free)
@@ -276,6 +298,7 @@ def main():
     for name, p in [("hu300", hu), ("hu_mix", hu_mix)]:
         _, _, ms = margin_stats(p, f2, fr2)
         ms["es_flip"] = es_flip_fraction(p, f2, fr2)
+        ms["fold_gate"] = fold_gate(p, f2, fr2)
         huo[name] = ms
     ia, _ = masked_argmax(np_logits(hu, f2), fr2)
     ib2, _ = masked_argmax(np_logits(hu_mix, f2), fr2)

@@ -129,6 +129,13 @@ def main():
                          "path; default is one launch per generation)")
     ap.add_argument("--seats", type=int, default=6,
                     help="table size (2 = heads-up hardening runs)")
+    ap.add_argument("--soften", type=float, default=0.0,
+                    help="divide the start's w3,b3 by K before training "
+                    "(argmax-preserving margin shrink; PERF.md fold-gate "
+                    "diagnostic: K~6-8 moves the never-sampled fold "
+                    "action into the exploration band so ES fitness can "
+                    "finally see conditional folds). Ignored on --resume "
+                    "from a checkpoint (already-softened lineage).")
     ap.add_argument("--resume", action="store_true",
                     help="continue from <save>.ckpt.npz/<save>."
                          "progress.json if present (the device tunnel "
@@ -158,6 +165,10 @@ def main():
     base_done = int(prog["gens_done"])
     gens_left = max(0, args.generations - base_done)
     params0 = load_params(start_path)
+    if args.soften > 1.0 and start_path != ckpt_path:
+        params0 = params0._replace(w3=params0.w3 / args.soften,
+                                   b3=params0.b3 / args.soften)
+        print(json.dumps({"softened": args.soften}), flush=True)
 
     def checkpoint(g, center, best, best_quality):
         save_params(ckpt_path, center)

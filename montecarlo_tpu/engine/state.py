@@ -107,6 +107,11 @@ class TableState(NamedTuple):
     small_blind: jax.Array  # i32[]
     big_blind: jax.Array    # i32[]
     hand_over: jax.Array    # bool[] latched at game end (single-hand mode)
+    # Observational betting-history metadata (appended fields so older
+    # flattened-leaf checkpoints keep their leaf prefix; no rule reads
+    # them — they exist for policy features, models/features.py):
+    street_raises: jax.Array  # i32[] raises since the street began
+    last_raiser: jax.Array    # i32[] position of the last raiser; P = none
 
     @property
     def num_seats(self) -> int:
@@ -143,6 +148,8 @@ def init_state(key: jax.Array, cfg: TableConfig) -> TableState:
         small_blind=jnp.asarray(cfg.small_blind, I32),
         big_blind=jnp.asarray(cfg.big_blind, I32),
         hand_over=jnp.zeros((), jnp.bool_),
+        street_raises=jnp.zeros((), I32),
+        last_raiser=jnp.full((), P, I32),
     )
     return begin_hand(state, rules=cfg.rules)
 
@@ -248,6 +255,8 @@ def begin_hand(state: TableState, rules: str = "reference") -> TableState:
         bets=bets,
         pots=empty_layers(state.pots.capacity, P),
         hand_over=jnp.zeros((), jnp.bool_),
+        street_raises=jnp.zeros((), I32),
+        last_raiser=jnp.full((), P, I32),
     )
 
 

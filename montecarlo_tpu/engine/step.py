@@ -174,6 +174,8 @@ def apply_action(state: TableState, action, rules: str = "reference"
         order_mask=order_mask,
         to_act=to_act,
         cursor=jnp.where(is_fold, state.cursor, cursor_after),
+        street_raises=state.street_raises + is_raise.astype(I32),
+        last_raiser=jnp.where(is_raise, seat, state.last_raiser),
     )
 
 
@@ -233,6 +235,8 @@ def stage_transition(state: TableState, rules: str = "reference") -> TableState:
         order_mask=actable,
         cursor=jnp.zeros((), I32),
         stage=state.stage + 1,
+        street_raises=jnp.zeros((), I32),
+        last_raiser=jnp.full((), state.num_seats, I32),
     )
 
 

@@ -20,7 +20,7 @@ from montecarlo_tpu.ops.evaluator import eval_masks_impl
 I32 = jnp.int32
 F32 = jnp.float32
 
-NUM_FEATURES = 20
+NUM_FEATURES = 24
 
 
 def _masked_suit_masks(cards, valid):
@@ -67,6 +67,14 @@ def state_features(state: TableState) -> jnp.ndarray:
 
     stage_onehot = (jnp.arange(4) == state.stage).astype(F32)
 
+    # Betting-history features (feature-set v2 — the leak-anatomy lever:
+    # without raise counts / the aggressor, relentless thin value-raising
+    # is indistinguishable from passivity and value-callers farm it).
+    sr = state.street_raises
+    has_aggr = sr > 0
+    rel_raiser = jnp.where(
+        has_aggr, ((state.last_raiser - seat) % P).astype(F32) / P, 0.0)
+
     feats = jnp.concatenate([
         stage_onehot,                                        # 4
         jnp.stack([
@@ -86,6 +94,12 @@ def state_features(state: TableState) -> jnp.ndarray:
             hole_ranks[1],
             suited,
             paired,
-        ]),                                                  # 16
+            # --- feature-set v2 (indices 20-23; older artifacts load
+            # with zero-padded w1 rows, so their play is unchanged) ---
+            sr.astype(F32) / 4.0,                            # street raises
+            has_aggr.astype(F32),                            # facing a raiser
+            rel_raiser,                                      # raiser distance
+            (sr >= 2).astype(F32),                           # re-raised street
+        ]),                                                  # 20
     ])
     return feats

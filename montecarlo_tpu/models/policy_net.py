@@ -93,8 +93,20 @@ def save_params(path: str, params: MLPParams) -> None:
 
 
 def load_params(path: str) -> MLPParams:
+    """Load an artifact; feature-set upgrades are applied here.
+
+    Artifacts trained on an older (shorter) feature vector load with
+    ``w1`` zero-padded to ``NUM_FEATURES`` input rows — features are only
+    ever APPENDED (models/features.py), and a zero row contributes
+    nothing, so the upgraded net plays bit-identically to the original.
+    """
     import numpy as np
 
     with np.load(path) as data:
-        return MLPParams(*[jnp.asarray(data[f"p_{i}"])
-                           for i in range(len(MLPParams._fields))])
+        leaves = [jnp.asarray(data[f"p_{i}"])
+                  for i in range(len(MLPParams._fields))]
+    w1 = leaves[0]
+    if w1.shape[0] < NUM_FEATURES:
+        pad = jnp.zeros((NUM_FEATURES - w1.shape[0], w1.shape[1]), w1.dtype)
+        leaves[0] = jnp.concatenate([w1, pad], axis=0)
+    return MLPParams(*leaves)

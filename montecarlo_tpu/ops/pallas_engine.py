@@ -39,7 +39,7 @@ the reference's appended pot list.
 Beyond the random-policy perpetual form, the kernel hosts: per-position
 and per-seat settled-delta meters, tournament bust records + placements
 (``tournament_results``), and seat-pinned policy-NET evaluation
-(``selfplay_net_eval_kernel``: the 20 decision features built on block
+(``selfplay_net_eval_kernel``: the 24 decision features built on block
 arrays bit-exact to ``models/features.py``, dense layers as direct
 [out, in] x [in, 8, 128] MXU contractions, Gumbel-argmax sampling).
 
@@ -126,6 +126,7 @@ def _field_layout(P: int, rules: str = "reference"):
     all-in seats) exist only for the rules that use them."""
     fields = [
         ("stage", 1), ("cursor", 1), ("street_raises", 1),
+        ("last_raiser", 1),  # acting position of the last raiser; P = none
         ("folded", 1), ("in_hand", 1), ("to_act", 1), ("order", 1),
         ("wait", 1),  # hand ended, settle pass pending (deferred settle)
         ("hand_ct", 1), ("overflow", 1), ("button", 1),
@@ -464,9 +465,14 @@ def _step_nosettle(st, raw_action, P, sb, bb, rules="reference"):
     transition_any = stage != st["stage"]
     street_raises = jnp.where(transition_any | ended, zero,
                               st["street_raises"] + applied.astype(I32))
+    # last_raiser (engine/step.py:apply_action): set on raise, reset to P
+    # ("none") with street_raises — feature-set v2 input.
+    last_raiser = jnp.where(applied, head, st["last_raiser"])
+    last_raiser = jnp.where(transition_any | ended, zero + P, last_raiser)
 
     out = {
         "stage": stage, "cursor": cursor, "street_raises": street_raises,
+        "last_raiser": last_raiser,
         "folded": folded, "in_hand": in_hand, "to_act": to_act,
         "order": order, "wait": wait,
         "overflow": st["overflow"] | ovf.astype(I32),
@@ -862,6 +868,7 @@ def pack_state(cfg, first_cards):
 
     full = (1 << P) - 1
     put("cursor", 0, np.full(n_tables, 2 % P))
+    put("last_raiser", 0, np.full(n_tables, P))  # none yet this street
     put("in_hand", 0, np.full(n_tables, full))
     # Blinds: unconditional under reference rules; capped at the stack
     # under standard (fresh full stacks, so the cap only bites for tiny
@@ -1001,7 +1008,7 @@ def _masked_suit_masks(cards, valids):
 def _features(st, head, P, bb):
     """models/features.py:state_features on block arrays — the exact
     feature order and (hardcoded /100) normalizations the trained policy
-    artifacts expect. Returns a list of 20 float32 [8,128] arrays."""
+    artifacts expect. Returns a list of 24 float32 [8,128] arrays."""
     from montecarlo_tpu import handval as hv
     from montecarlo_tpu.ops.evaluator import eval_masks_impl
 
@@ -1040,6 +1047,13 @@ def _features(st, head, P, bb):
     pot_f = pot.astype(F32)
     needed_f = needed.astype(F32)
 
+    # feature-set v2 (models/features.py indices 20-23)
+    sr = st["street_raises"]
+    has_aggr = sr > 0
+    rel_raiser = jnp.where(
+        has_aggr,
+        ((st["last_raiser"] - head) % P).astype(F32) / P, 0.0)
+
     return [
         (stage == 0).astype(F32), (stage == 1).astype(F32),
         (stage == 2).astype(F32), (stage == 3).astype(F32),
@@ -1054,6 +1068,10 @@ def _features(st, head, P, bb):
         pot_f / jnp.maximum(needed_f + pot_f, 1.0),
         needed_f / float(bb) / 10.0,
         category, top_rank, r0, r1, suited, paired,
+        sr.astype(F32) / 4.0,
+        has_aggr.astype(F32),
+        rel_raiser,
+        (sr >= 2).astype(F32),
     ]
 
 

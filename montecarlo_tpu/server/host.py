@@ -68,10 +68,12 @@ def _resolve_bot_policy(name: str):
     if fname is None:
         import jax.numpy as jnp
 
+        from montecarlo_tpu.models.features import NUM_FEATURES
+
         def z(*s):
             return jnp.zeros(s, jnp.float32)
 
-        return MLPParams(z(20, 64), z(64), z(64, 64), z(64),
+        return MLPParams(z(NUM_FEATURES, 64), z(64), z(64, 64), z(64),
                          z(64, 4), z(4))
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))

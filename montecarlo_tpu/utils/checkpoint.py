@@ -45,7 +45,17 @@ def load_states(path: str) -> TableState:
         folded=0,
         order_mask=0, to_act=0, stacks=0,
         bets=make_empty_bets(impl, 1, 1), pots=empty_layers(1, 1),
-        small_blind=0, big_blind=0, hand_over=0)
+        small_blind=0, big_blind=0, hand_over=0,
+        street_raises=0, last_raiser=0)
     treedef = jax.tree.structure(template)
+    n_leaves = treedef.num_leaves
+    if len(flat) == n_leaves - 2:
+        # Snapshot predates the street_raises/last_raiser fields (appended
+        # at the end of TableState, so the old leaf prefix is unchanged).
+        # Defaults: no raise this street — P (= "none") for last_raiser.
+        batch = flat[0].shape[:-1]  # key leaf is [..., 2] u32 key data
+        P = flat[3].shape[-2]       # hole leaf is [..., P, 2]
+        flat = flat + [np.zeros(batch, np.int32),
+                       np.full(batch, P, np.int32)]
     states = jax.tree.unflatten(treedef, [jnp.asarray(x) for x in flat])
     return states._replace(key=jax.random.wrap_key_data(states.key))

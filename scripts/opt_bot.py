@@ -86,6 +86,17 @@ def _norm_rule(v, t):
 
 def make_bot(x, acts):
     x = np.asarray(x, np.float32)
+    n_rules = len(acts) - 1
+    old_nf = len(x) // n_rules - 1
+    if old_nf < NUM_FEATURES:
+        # Saved attacker from an older (shorter) feature set: pad each
+        # rule's score vector with zeros — features are only appended
+        # (models/features.py), so the rule is unchanged.
+        assert len(x) == n_rules * (old_nf + 1), (len(x), acts)
+        rules = x.reshape(n_rules, old_nf + 1)
+        pad = np.zeros((n_rules, NUM_FEATURES - old_nf), np.float32)
+        x = np.concatenate(
+            [rules[:, :old_nf], pad, rules[:, old_nf:]], axis=1).reshape(-1)
     if len(acts) == 2:
         return vector_bot(x[:NUM_FEATURES], float(x[NUM_FEATURES]),
                           acts[0], acts[1])

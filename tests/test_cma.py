@@ -47,11 +47,14 @@ def test_opt_bot_family_dispatch():
     from montecarlo_tpu.models.policy_net import policy_logits
     from scripts.opt_bot import _LADDER_X0, make_bot, spec_dim
 
-    assert spec_dim((3, 0)) == 21 and spec_dim((3, 1, 0)) == 42
+    from montecarlo_tpu.models.features import NUM_FEATURES
+
+    assert spec_dim((3, 0)) == NUM_FEATURES + 1
+    assert spec_dim((3, 1, 0)) == 2 * (NUM_FEATURES + 1)
     got = make_bot(_LADDER_X0, (3, 1, 0))
     want = ladder_bot(_HOLE, 1.15, _HOLE, 0.95, top=3, mid=1, bot=0)
     feats = jnp.asarray(
-        np.random.default_rng(5).random((64, 20)), jnp.float32)
+        np.random.default_rng(5).random((64, NUM_FEATURES)), jnp.float32)
     # make_bot normalizes (score, t) into the bf16-safe range — the
     # scaling preserves every decision, not the raw logits
     assert np.array_equal(
@@ -62,17 +65,19 @@ def test_opt_bot_family_dispatch():
 def test_opt_bot_norm_rule_keeps_decisions_in_safe_range():
     """Extreme CMA weights are scaled into ladder_bot's guarded range
     and the three-way decision boundary is preserved."""
+    from montecarlo_tpu.models.features import NUM_FEATURES
     from montecarlo_tpu.models.policy_net import policy_logits
-    from scripts.opt_bot import _norm_rule, make_bot
+    from scripts.opt_bot import _norm_rule, make_bot, spec_dim
 
     rng = np.random.default_rng(9)
-    x = rng.uniform(-3, 3, 42)  # worst-case corner of the CMA box
+    nf = NUM_FEATURES
+    x = rng.uniform(-3, 3, spec_dim((3, 1, 0)))  # worst corner, CMA box
     b = make_bot(x, (3, 1, 0))  # must not trip the safe-range assert
-    v, t = _norm_rule(x[:20], float(x[20]))
+    v, t = _norm_rule(x[:nf], float(x[nf]))
     assert 2.0 * np.abs(v).sum() + abs(t) <= 4.0 + 1e-6
     # joint scaling preserves the rule: sign(v.f - t) matches pre-norm
-    f = rng.random((256, 20))
-    pre = f @ x[:20] - x[20]
+    f = rng.random((256, nf))
+    pre = f @ x[:nf] - x[nf]
     post = f @ v - t
     assert np.array_equal(pre > 0, post > 0)
     # and the packed net plays a valid three-way policy on those feats
@@ -116,7 +121,9 @@ def test_resolve_opponent_optbot_spec(tmp_path):
     path = tmp_path / "opt.json"
     path.write_text(json.dumps(doc))
 
-    feats = jnp.asarray(rng.random((32, 20)), jnp.float32)
+    from montecarlo_tpu.models.features import NUM_FEATURES
+
+    feats = jnp.asarray(rng.random((32, NUM_FEATURES)), jnp.float32)
 
     def acts_of(params):
         return np.argmax(np.asarray(policy_logits(params, feats)), axis=-1)

@@ -293,7 +293,7 @@ def test_league_block_diagonal_weights_equivalent():
 
     nets = [init_params(jax.random.key(k)) for k in range(3)]
     w1t, b1, w2t, b2, w3t, b3 = _stack_weights_league(nets)
-    feats = jax.random.normal(jax.random.key(9), (20,))
+    feats = jax.random.normal(jax.random.key(9), (NUM_FEATURES,))
 
     h = jnp.maximum(w1t @ feats + b1[:, 0], 0.0)
     h = jnp.maximum(w2t @ h + b2[:, 0], 0.0)

@@ -254,7 +254,7 @@ def test_kernel_features_match_models():
     models.features.state_features exactly (same ops on CPU) on states
     reached by real play — feature parity is what makes the trained
     policy artifacts valid inside the kernel."""
-    from montecarlo_tpu.models.features import state_features
+    from montecarlo_tpu.models.features import NUM_FEATURES, state_features
     from montecarlo_tpu.ops import pallas_engine as pe
 
     cfg = make_cfg("standard")
@@ -276,11 +276,11 @@ def test_kernel_features_match_models():
     st = pe._unpack(block, layout)
     head, _, exists = pe._head_info(st, P)
     feats_k = jnp.stack(pe._features(st, head, P, cfg.big_blind),
-                        axis=0).reshape(20, -1)  # [20, T]
+                        axis=0).reshape(NUM_FEATURES, -1)
 
     # model-side features on the trajectory-equal XLA states
     ref, _, _, _ = _replica(actions, decks, n_steps, cfg)
-    feats_m = jax.vmap(state_features)(ref)  # [T, 20]
+    feats_m = jax.vmap(state_features)(ref)  # [T, NUM_FEATURES]
 
     live = np.asarray(exists).reshape(-1)
     got = np.asarray(feats_k).T[live]
@@ -377,7 +377,7 @@ def xla_net_det_reference(cfg, bots_by_seat, decks, n_steps, hmax):
     """
     from montecarlo_tpu.engine.street import bets_needed
     from montecarlo_tpu.engine.step import head_info
-    from montecarlo_tpu.models.features import state_features
+    from montecarlo_tpu.models.features import NUM_FEATURES, state_features
     from montecarlo_tpu.models.policy_net import (
         action_from_index, policy_logits,
     )

@@ -217,6 +217,8 @@ def test_kernel_matches_engine(rules, n_steps, seed):
     eq(col("in_hand"), _bitmask(ref.in_hand), "in_hand")
     eq(col("to_act"), _bitmask(ref.to_act), "to_act")
     eq(col("order"), _bitmask(ref.order_mask), "order")
+    eq(col("street_raises"), ref.street_raises, "street_raises")
+    eq(col("last_raiser"), ref.last_raiser, "last_raiser")
     for k in range(P):
         eq(col("stacks", k), ref.stacks[:, k], f"stacks[{k}]")
     for j in range(cfg.max_layers):

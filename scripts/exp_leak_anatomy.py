@@ -64,6 +64,8 @@ FEATURE_NAMES = [
     "free_to_check", "in_hand/P", "to_act/P", "seat/P",
     "pot_odds", "needed/bb/10", "hand_category/8", "top_rank/14",
     "hole_rank0/14", "hole_rank1/14", "suited", "paired",
+    # feature-set v2 (betting history)
+    "street_raises/4", "has_aggressor", "raiser_relpos", "re_raised",
 ]
 ACTION_NAMES = ["fold", "check/call", "min-raise", "pot-raise"]
 

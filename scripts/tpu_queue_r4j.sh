@@ -64,7 +64,7 @@ run_job() {  # name timeout_s cmd...
     echo "r4j: $name already done, skipping"
     return 0
   fi
-  local cutoff; cutoff=$(cat /tmp/q_cutoff_epoch 2>/dev/null || echo 9999999999)
+  local cutoff; cutoff=$(cat /tmp/q_cutoff_epoch_j 2>/dev/null || echo 9999999999)
   if [ "$(date -u +%s)" -ge "$cutoff" ]; then
     echo "r4j: past cutoff epoch $cutoff, skipping $name"
     echo "cutoff" > "logs/q_${name}.rc"

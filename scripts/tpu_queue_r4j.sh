@@ -80,7 +80,21 @@ run_job() {  # name timeout_s cmd...
   return $rc
 }
 
-# ---- 1. v2-usage + fold-gate diagnostic (CPU path).
+# ---- 1. Round hygiene FIRST (must-haves): on-hardware kernel
+# agreement after the layout change, then the headline bench to warm
+# the driver's compile cache for the new shapes.
+run_job validate7 5400 python scripts/validate_tpu.py
+commit_artifacts "validate_tpu log after feature-v2 layout change" \
+  logs/q_validate7.log
+
+run_job bench7 5400 python bench.py
+if [ -f logs/q_bench7.log ]; then
+  tail -1 logs/q_bench7.log > data/bench_r4_preview.json 2>/dev/null || true
+  commit_artifacts "bench preview after feature-v2 (warms the driver's cache)" \
+    data/bench_r4_preview.json
+fi
+
+# ---- 2. v2-usage + fold-gate diagnostic (CPU path).
 SUBJ=""
 [ -f data/policy_6max_es7.npz ] && SUBJ="es7=data/policy_6max_es7.npz"
 if [ -f data/policy_6max_mix7.npz ]; then
@@ -94,7 +108,7 @@ if [ -n "$SUBJ" ]; then
     data/fold_gate_es7.json
 fi
 
-# ---- 2. learned BR vs es7 from its own CMA attacker.
+# ---- 3. learned BR vs es7 from its own CMA attacker.
 if [ -f data/policy_6max_es7.npz ] && [ -f data/exploitability_opt_es7.json ]; then
   run_job br_es7 7200 python scripts/train_br.py \
     --opponent es7=data/policy_6max_es7.npz \
@@ -105,12 +119,42 @@ if [ -f data/policy_6max_es7.npz ] && [ -f data/exploitability_opt_es7.json ]; t
     data/br_vs_es7_cma.npz data/br_vs_es7_cma.npz.result.json
 fi
 
-# ---- 3. summary recompose (BR globbed automatically).
+# ---- 4. HU v2 un-freeze: the HU line is behaviorally FROZEN (leak
+# anatomy: hu300 margins ~15, P(non-argmax) 1.5e-6, fold LAST on 100%).
+# Cure under test = the same v2 recipe: soften 8 (fold into the
+# exploration band) + gradient training with the aggression features
+# live, vs {its CMA attacker, self anchor, random}; honest re-attack.
+run_job hu7 7200 python scripts/train_mix.py \
+  --seats 2 --start data/policy_hu_300.npz --soften 8 \
+  --opponents 'optbot:data/exploitability_opt_hu.json:hu%0,self%-0.03,random%1.5' \
+  --updates 300 --tables 8192 --lr 1e-3 --max-steps 24 \
+  --save data/policy_hu7.npz
+commit_artifacts "hu7: v2-feature gradient un-freeze of the HU line" \
+  data/policy_hu7.npz
+
+if [ -f data/policy_hu7.npz ]; then
+  run_job foldgate_hu7 1800 python scripts/fold_gate_check.py \
+    --subjects hu7=data/policy_hu7.npz --save data/fold_gate_hu7.json
+  commit_artifacts "hu7 fold-gate + v2-usage diagnostic" \
+    data/fold_gate_hu7.json
+  run_job probe_hu7 3600 python scripts/exploit_probe.py \
+    --subjects hu7=data/policy_hu7.npz \
+    --geometry both --save data/exploitability_hu7.json
+  commit_artifacts "hu7 panel probe" data/exploitability_hu7.json
+  run_job optbot_hu7 7200 python scripts/opt_bot.py \
+    --subjects hu7=data/policy_hu7.npz --pairs 3:0,1:0 \
+    --save data/exploitability_opt_hu7.json
+  commit_artifacts "Adaptive CMA exploitability vs hu7" \
+    data/exploitability_opt_hu7.json
+fi
+
+# ---- 5. summary recompose (BR globbed automatically).
 PANELS=(data/exploitability.json data/exploitability_hu.json)
 for f in data/exploitability_hu_es.json data/exploitability_hu_mix.json \
          data/exploitability_es4.json data/exploitability_es5.json \
          data/exploitability_es6.json data/exploitability_mix6.json \
-         data/exploitability_es7.json data/exploitability_mix7.json; do
+         data/exploitability_es7.json data/exploitability_mix7.json \
+         data/exploitability_hu7.json; do
   [ -f "$f" ] && PANELS+=("$f")
 done
 OPTS=()
@@ -119,7 +163,8 @@ for f in data/exploitability_opt.json data/exploitability_opt_hu.json \
          data/exploitability_opt_es4.json data/exploitability_opt_es5.json \
          data/exploitability_opt_es6.json data/exploitability_opt_mix6.json \
          data/exploitability_opt_es7.json \
-         data/exploitability_opt_mix7.json; do
+         data/exploitability_opt_mix7.json \
+         data/exploitability_opt_hu7.json; do
   [ -f "$f" ] && OPTS+=("$f")
 done
 timeout 600 python scripts/exploitability_report.py \
@@ -128,18 +173,5 @@ timeout 600 python scripts/exploitability_report.py \
   > logs/q_exp_report_r4j.log 2>&1
 commit_artifacts "Recompose exploitability summary (learned BR vs es7)" \
   data/exploitability_summary.json
-
-# ---- 4. on-hardware kernel agreement after the layout change.
-run_job validate7 5400 python scripts/validate_tpu.py
-commit_artifacts "validate_tpu log after feature-v2 layout change" \
-  logs/q_validate7.log
-
-# ---- 5. bench warm-up + preview.
-run_job bench7 5400 python bench.py
-if [ -f logs/q_bench7.log ]; then
-  tail -1 logs/q_bench7.log > data/bench_r4_preview.json 2>/dev/null || true
-  commit_artifacts "bench preview after feature-v2 (warms the driver's cache)" \
-    data/bench_r4_preview.json
-fi
 
 echo "r4j: ALL DONE $(date -u +%H:%M:%S)"

@@ -145,7 +145,15 @@ class NativeBackend:
 
 class JaxBackend:
     """Device engine stepped from the host (always available; the only
-    backend supporting the "standard" and "tournament" rule sets)."""
+    backend supporting the "standard" and "tournament" rule sets).
+
+    Pinned to the host CPU device: an interactive room is ONE table
+    stepped once per wire action — there is nothing for an accelerator
+    to amortize, and when the default device is a remote TPU every
+    eager op pays a tunnel round-trip (measured p50 3.7 s/action in
+    round 4 vs 104 µs native). Each action is a single jitted
+    ``step_table`` call on CPU-resident state, mirroring the hot path
+    ``server.clj:119`` → ``board.clj:122`` one compiled step deep."""
 
     def __init__(self, n: int, small: int, big: int, seed: int,
                  stacks: Sequence[int], rules: str = "reference"):
@@ -153,15 +161,28 @@ class JaxBackend:
         import jax.numpy as jnp
 
         from montecarlo_tpu.engine.state import TableConfig, init_state
+        from montecarlo_tpu.engine.step import clamp_action, step_table
 
         self.n = n
         self.rules = rules
+        self._cpu = jax.devices("cpu")[0]
         cfg = TableConfig(num_seats=n, small_blind=small, big_blind=big,
                           rules=rules)
-        state = init_state(jax.random.key(seed), cfg)
-        posted = np.asarray(state.stacks) - cfg.starting_stack
-        self.state = state._replace(
-            stacks=jnp.asarray(np.asarray(stacks, np.int32) + posted))
+        with jax.default_device(self._cpu):
+            state = init_state(jax.random.key(seed), cfg)
+            posted = np.asarray(state.stacks) - cfg.starting_stack
+            state = state._replace(
+                stacks=jnp.asarray(np.asarray(stacks, np.int32) + posted))
+        self.state = jax.device_put(state, self._cpu)
+        self._step = jax.jit(
+            lambda s, a: step_table(s, clamp_action(s, a), rules=rules))
+        # head_info eagerly is a trap on this machine: its jnp.arange is
+        # an *uncommitted* array creation that dispatches on the default
+        # (remote-TPU) device and blocks on the tunnel; jitted with the
+        # CPU-committed state it compiles and runs on CPU.
+        from montecarlo_tpu.engine.step import head_info
+
+        self._head = jax.jit(head_info)
 
     # Device state is positional; seats are stable. seat = (button+pos)%n.
     def _pos(self, seat: int) -> int:
@@ -179,11 +200,12 @@ class JaxBackend:
         return [int(pos_stacks[self._pos(s)]) for s in range(self.n)]
 
     def set_stacks(self, stacks: Sequence[int]):
-        import jax.numpy as jnp
+        import jax
 
         positional = [stacks[self._seat(j)] for j in range(self.n)]
         self.state = self.state._replace(
-            stacks=jnp.asarray(np.asarray(positional, np.int32)))
+            stacks=jax.device_put(np.asarray(positional, np.int32),
+                                  self._cpu))
 
     def in_hand_seats(self) -> List[int]:
         pos = np.nonzero(np.asarray(self.state.in_hand))[0].tolist()
@@ -195,41 +217,25 @@ class JaxBackend:
         return int(h[j, 0]), int(h[j, 1])
 
     def head_seat(self) -> Optional[int]:
-        from montecarlo_tpu.engine.step import head_info
-
-        pos, _, exists = head_info(self.state)
+        pos, _, exists = self._head(self.state)
         return self._seat(int(pos)) if bool(exists) else None
 
     def act(self, amt: int) -> bool:
         """Apply one action; True iff the hand ended AND a fresh hand was
-        dealt (a tournament table that froze returns False — no new deal)."""
-        import jax.numpy as jnp
+        dealt (a tournament table that froze returns False — no new deal).
 
-        from montecarlo_tpu.engine.state import next_hand
-        from montecarlo_tpu.engine.step import (
-            apply_action, clamp_action, game_end, settle_showdown,
-            stage_end, stage_transition,
-        )
+        One jitted ``step_table`` call (clamp → apply → street
+        transition(s) → settle+redeal on game end, ``board.clj:122-129``
+        + ``gameplay.clj:122-150``) and one host read — no per-op eager
+        dispatch on the hot path."""
+        import jax
 
         if self.rules == "tournament" and bool(self.state.hand_over):
             return False  # frozen table: one player holds all the chips
-        r = self.rules
-        st = apply_action(self.state,
-                          clamp_action(self.state, jnp.asarray(amt, jnp.int32)),
-                          rules=r)
-        # board-action order (board.clj:122-129): game end, else street
-        # transition(s) — standard/tournament chain closed-betting streets
-        # to the river (up to 4), re-checking game end after each.
-        n_adv = 1 if r == "reference" else 4
-        for _ in range(n_adv):
-            if bool(stage_end(st)) and not bool(game_end(st)):
-                st = stage_transition(st, rules=r)
-        if bool(game_end(st)):
-            prev_idx = int(st.hand_idx)
-            self.state = next_hand(settle_showdown(st, rules=r), rules=r)
-            return int(self.state.hand_idx) > prev_idx
-        self.state = st
-        return False
+        prev_idx = int(self.state.hand_idx)
+        self.state = self._step(
+            self.state, jax.device_put(np.int32(amt), self._cpu))
+        return int(self.state.hand_idx) > prev_idx
 
     def board_json(self, ids: Sequence[str]) -> Dict:
         from montecarlo_tpu.engine.public import public_board
@@ -246,11 +252,15 @@ class JaxBackend:
 
         from montecarlo_tpu.models.policy_net import net_policy
 
-        pol = net_policy(params)
+        pol = net_policy(jax.device_put(params, self._cpu))
         return jax.jit(lambda key, state: pol(key, state, 0))
 
     def bot_action(self, fn, key) -> int:
-        return int(fn(key, self.state))
+        import jax
+
+        # The host makes keys on the default device; the table lives on
+        # CPU — co-locate so the jitted policy runs on CPU too.
+        return int(fn(jax.device_put(key, self._cpu), self.state))
 
 
 def make_backend(kind: str, n: int, small: int, big: int, seed: int,

@@ -57,6 +57,17 @@ BOT_POLICIES = {
 
 
 def _resolve_bot_policy(name: str):
+    """Resolve under the host CPU device: interactive rooms are pinned
+    to CPU (backends.JaxBackend), and loading an artifact on the default
+    device would push its arrays through the TPU tunnel just to pull
+    them back."""
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _resolve_bot_policy_impl(name)
+
+
+def _resolve_bot_policy_impl(name: str):
     """Bot-policy name -> MLPParams (artifacts live in <repo>/data)."""
     import os
 
@@ -141,7 +152,13 @@ class Room:
             import jax
 
             self._bot_fn = self.engine.make_bot(self.bot_params)
-            self._bot_key = jax.random.key(7919 * self.seed + 13)
+            # Pin the key stream to the host CPU device alongside the
+            # interactive table (backends.JaxBackend) — on a machine
+            # whose default device is a remote TPU, an unpinned key
+            # would drag every per-action fold_in through the tunnel.
+            self._bot_key = jax.device_put(
+                jax.random.key(7919 * self.seed + 13),
+                jax.devices("cpu")[0])
         self._sync_registry(registry)
         self._deal_messages(registry)
         self._broadcast(registry)

@@ -111,7 +111,7 @@ run_cpu() {  # name timeout cmd...  (no tunnel gating, no chip settle)
 }
 
 recompose_summary() {  # tag
-  local tag="$1"
+  local tag="${1//[^A-Za-z0-9_-]/_}"   # slashes/spaces break the log redirect
   local PANELS=(data/exploitability.json data/exploitability_hu.json)
   for f in data/exploitability_hu_es.json data/exploitability_hu_mix.json \
            data/exploitability_es4.json data/exploitability_es5.json \
@@ -130,7 +130,8 @@ recompose_summary() {  # tag
   timeout 600 python scripts/exploitability_report.py \
     --panel "${PANELS[@]}" --opt "${OPTS[@]}" \
     --save data/exploitability_summary.json \
-    > "logs/q_exp_report_${tag}.log" 2>&1
+    > "logs/q_exp_report_${tag}.log" 2>&1 \
+    || { echo "r5a: recompose FAILED ($tag), keeping old summary"; return 1; }
   commit_artifacts "Recompose exploitability summary ($tag)" \
     data/exploitability_summary.json
 }

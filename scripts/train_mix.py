@@ -95,6 +95,9 @@ def main():
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--eval-tables", type=int, default=1 << 16)
     ap.add_argument("--save", default="data/policy_hu_mix.npz")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from --save + its .progress.json "
+                         "(same pattern as train_es_kernel --resume)")
     ap.add_argument("--soften", type=float, default=0.0,
                     help="divide the START's w3,b3 by K before training "
                     "(argmax-preserving margin shrink). The leak-anatomy "

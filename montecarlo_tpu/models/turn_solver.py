@@ -773,13 +773,151 @@ def exploitability_gap(game: TurnRiverGame,
     return br1 + br2 - float(game.pot)
 
 
+def best_response_strategy(game: TurnRiverGame, strat: TurnRiverStrategy
+                           ) -> TurnRiverStrategy:
+    """Per-infoset one-hot best responses against the profile ``strat``.
+
+    Returns a TurnRiverStrategy whose P1 nodes (t0/t2/t4, s0/s2/s4)
+    best-respond to strat's P2 nodes and whose P2 nodes (t1/t3, s1/s3)
+    best-respond to strat's P1 nodes — the same bottom-up max as
+    ``best_response_values`` with the argmax recorded per node instead
+    of only the root sum. Mixing the returned P1 nodes with strat's P2
+    nodes reproduces br1 exactly (and symmetrically br2); pinned in
+    tests/test_distill.py. Unreached infosets (zero opponent reach)
+    have all-zero action values and resolve to the first action.
+
+    This is the extraction half of the solver-BR attacker family
+    (round-4 verdict #7): the one-hot tables become distillation
+    targets for a policy net (models/distill.py) that then attacks the
+    subject in the full game — machinery fully independent of the CMA
+    rule family and the REINFORCE exploiter.
+    """
+    pots_l, bl, rl = _river_sizes(game)
+    mask0 = game.mask0
+    pot, B, R = game.pot, game.bet, game.raise_
+    safe_cnt = jnp.where(game.cnt > 0, game.cnt, 1.0)
+    rho1, rho2 = _avg_turn_reaches(strat)
+    Rn = game.keys.shape[0]
+    C = mask0.shape[0]
+
+    def onehot(idx, k):
+        return (jnp.arange(k)[None, :] == idx[:, None]).astype(F32)
+
+    # ---- P1: river argmaxes bottom-up, then turn argmaxes ----
+    def body1(r, carry):
+        s0b, s2b, s4b, V1 = carry
+        W = _w_matrix(game.keys[r])
+        free_r = (1.0 - game.has_r[r])
+        m_r = mask0 * free_r[:, None] * free_r[None, :] / safe_cnt
+        for L in range(4):
+            m = m_r * rho2[L][None, :]
+            s1 = strat.s1[L, r]
+            s3 = strat.s3[L, r]
+            u_xbc = (pots_l[L] + 2 * bl[L]) * W - bl[L]
+            u_brc = (pots_l[L] + 2 * (bl[L] + rl[L])) * W - (bl[L] + rl[L])
+            r4 = m * s3[None, :, 2]
+            v4 = jnp.stack([jnp.sum(r4, 1) * (-bl[L]),
+                            jnp.sum(r4 * u_brc, 1)], 1)
+            r2 = m * s1[None, :, 1]
+            v2 = jnp.stack([jnp.zeros(C), jnp.sum(r2 * u_xbc, 1)], 1)
+            v_check = (jnp.sum(m * s1[None, :, 0] * pots_l[L] * W, 1)
+                       + jnp.max(v2, 1))
+            v_bet = (jnp.sum(m * s3[None, :, 0], 1) * pots_l[L]
+                     + jnp.sum(m * s3[None, :, 1] * u_xbc, 1)
+                     + jnp.max(v4, 1))
+            if not game.river_betting:
+                v_bet = v_check - 1.0
+            v0 = jnp.stack([v_check, v_bet], 1)
+            s0b = s0b.at[L, r].set(onehot(jnp.argmax(v0, 1), 2))
+            s2b = s2b.at[L, r].set(onehot(jnp.argmax(v2, 1), 2))
+            s4b = s4b.at[L, r].set(onehot(jnp.argmax(v4, 1), 2))
+            V1 = V1.at[L].add(jnp.max(v0, 1))
+        return s0b, s2b, s4b, V1
+
+    z2 = jnp.zeros((4, Rn, C, 2), F32)
+    s0b, s2b, s4b, B1 = jax.lax.fori_loop(
+        0, Rn, body1, (z2, z2, z2, jnp.zeros((4, C), F32)))
+
+    t1, t3 = strat.t1, strat.t3
+    s2sum = {L: jnp.sum(mask0 * rho[None, :], 1)
+             for L, rho in ((1, t1[:, 1]), (2, t3[:, 1]), (3, t3[:, 2]))}
+    v4 = jnp.stack([-B * s2sum[3], B1[3] - (B + R) * s2sum[3]], 1)
+    v2 = jnp.stack([jnp.zeros(C), B1[1] - B * s2sum[1]], 1)
+    v_check = B1[0] + jnp.max(v2, 1)
+    v_bet = (pot * jnp.sum(mask0 * t3[None, :, 0], 1)
+             + B1[2] - B * s2sum[2] + jnp.max(v4, 1))
+    if not game.turn_betting:
+        v_bet = v_check - 1.0
+    t0b = onehot(jnp.argmax(jnp.stack([v_check, v_bet], 1), 1), 2)
+    t2b = onehot(jnp.argmax(v2, 1), 2)
+    t4b = onehot(jnp.argmax(v4, 1), 2)
+
+    # ---- P2: river argmaxes, then turn argmaxes ----
+    def body2(r, carry):
+        s1b, s3b, V2 = carry
+        W = _w_matrix(game.keys[r])
+        free_r = (1.0 - game.has_r[r])
+        m_r = mask0 * free_r[:, None] * free_r[None, :] / safe_cnt
+        for L in range(4):
+            m = m_r * rho1[L][:, None]
+            v1, v3 = _river_p2_values(
+                m, W, pots_l[L], bl[L], rl[L],
+                strat.s0[L, r], strat.s2[L, r], strat.s4[L, r])
+            if not game.river_betting:
+                v1 = v1.at[:, 1].set(v1[:, 0] - 1.0)
+            if not (game.river_betting and game.river_raise):
+                v3 = v3.at[:, 2].set(jnp.min(v3, 1) - 1.0)
+            s1b = s1b.at[L, r].set(onehot(jnp.argmax(v1, 1), 2))
+            s3b = s3b.at[L, r].set(onehot(jnp.argmax(v3, 1), 3))
+            V2 = V2.at[L].add(jnp.max(v1, 1) + jnp.max(v3, 1))
+        return s1b, s3b, V2
+
+    s1b, s3b, B2 = jax.lax.fori_loop(
+        0, Rn, body2, (z2, jnp.zeros((4, Rn, C, 3), F32),
+                       jnp.zeros((4, C), F32)))
+
+    t0, t2, t4 = strat.t0, strat.t2, strat.t4
+    v1_check = B2[0]
+    v1_bet = (pot * jnp.sum(mask0 * (t0[:, 0] * t2[:, 0])[:, None], 0)
+              + B2[1]
+              - B * jnp.sum(mask0 * (t0[:, 0] * t2[:, 1])[:, None], 0))
+    if not game.turn_betting:
+        v1_bet = v1_check - 1.0
+    v3_fold = jnp.zeros_like(B2[2])
+    v3_call = B2[2] - B * jnp.sum(mask0 * t0[:, 1][:, None], 0)
+    v3_raise = ((pot + B) * jnp.sum(
+                    mask0 * (t0[:, 1] * t4[:, 0])[:, None], 0)
+                + B2[3]
+                - (B + R) * jnp.sum(
+                    mask0 * (t0[:, 1] * t4[:, 1])[:, None], 0))
+    if not (game.turn_betting and game.turn_raise):
+        v3_raise = jnp.minimum(v3_fold, jnp.minimum(v3_call,
+                                                    v3_raise)) - 1.0
+    t1b = onehot(jnp.argmax(jnp.stack([v1_check, v1_bet], 1), 1), 2)
+    t3b = onehot(jnp.argmax(jnp.stack([v3_fold, v3_call, v3_raise], 1),
+                            1), 3)
+
+    return TurnRiverStrategy(t0=t0b, t1=t1b, t2=t2b, t3=t3b, t4=t4b,
+                             s0=s0b, s1=s1b, s2=s2b, s3=s3b, s4=s4b)
+
+
+def mix_strategies(p1_nodes: TurnRiverStrategy,
+                   p2_nodes: TurnRiverStrategy) -> TurnRiverStrategy:
+    """Profile with P1's nodes from one strategy, P2's from another."""
+    return TurnRiverStrategy(
+        t0=p1_nodes.t0, t1=p2_nodes.t1, t2=p1_nodes.t2, t3=p2_nodes.t3,
+        t4=p1_nodes.t4, s0=p1_nodes.s0, s1=p2_nodes.s1, s2=p1_nodes.s2,
+        s3=p2_nodes.s3, s4=p1_nodes.s4)
+
+
 # ---------------------------------------------------------------------------
 # Trained-net Nash gap: extract a policy artifact's two-street strategy
 # and measure its exploitability in the solved subgame
 # ---------------------------------------------------------------------------
 
 def turn_river_node_states(board4: Sequence[int],
-                           rivers: Sequence[int], pot_bb: int = 2):
+                           rivers: Sequence[int], pot_bb: int = 2,
+                           with_prelude: bool = False):
     """Engine states at every decision node of the NO-RAISE two-street
     tree (the deepest tree that fits 100-chip stacks with the nets' own
     pot-bet sizes — see TurnRiverGame.turn_raise).
@@ -874,10 +1012,21 @@ def turn_river_node_states(board4: Sequence[int],
                         n2=advance(r0, [0, bl]), n3=advance(r0, [bl]))
 
         river_states[L] = jax.vmap(nodes)(decks)
-    return turn_states, river_states, dict(
+    sizes = dict(
         pot=float(pot), bet=float(B),
         river_bets=(river_bets["cc"], river_bets["xbc"],
                     river_bets["bc"], river_bets["bc"]))
+    if with_prelude:
+        # The scripted prelude's own decision nodes (preflop SB/BB, flop
+        # check line) — distillation's early-street self-anchor states
+        # (models/distill.prelude_examples). Rivers never show; one deck
+        # serves.
+        s0 = redeal(init_state(jax.random.key(0), cfg), decks[0])
+        prelude = {"pf0": s0, "pf1": advance(s0, [0]),
+                   "fl0": advance(s0, [0, 0]),
+                   "fl1": advance(s0, [0, 0, 0])}
+        return turn_states, river_states, sizes, prelude
+    return turn_states, river_states, sizes
 
 
 def net_turn_river_strategy(params, turn_states, river_states, combos

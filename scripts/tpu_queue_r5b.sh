@@ -150,11 +150,11 @@ if [ -f data/policy_hu7.npz ]; then
   run_cpu foldgate_hu7 1800 python scripts/fold_gate_check.py \
     --subjects hu7=data/policy_hu7.npz --save data/fold_gate_hu7.json
   commit_artifacts "hu7 fold-gate + v2-usage diagnostic" data/fold_gate_hu7.json
-  run_job probe_hu7 $((NOW + 7800)) python scripts/exploit_probe.py \
+  run_job probe_hu7 $((NOW + 7200)) python scripts/exploit_probe.py \
     --subjects hu7=data/policy_hu7.npz --seats 2 \
     --geometry both --save data/exploitability_hu7.json
   commit_artifacts "hu7 panel probe" data/exploitability_hu7.json
-  run_job optbot_hu7 $((NOW + 10200)) python scripts/opt_bot.py \
+  run_job optbot_hu7 $((NOW + 9600)) python scripts/opt_bot.py \
     --subjects hu7=data/policy_hu7.npz --pairs 3:0,1:0 --seats 2 \
     --seed 67 --save data/exploitability_opt_hu7.json
   commit_artifacts "Adaptive CMA exploitability vs hu7" \
@@ -165,7 +165,7 @@ fi
 # ---- 2. Solver-BR attacker full-game eval (VERDICT #7) ----
 # Gated on the CPU br-distill having produced the attacker net.
 if [ -f data/br_solver_vs_es7.npz ]; then
-  run_job solver_br_es7 $((NOW + 12000)) python scripts/eval_attacker.py \
+  run_job solver_br_es7 $((NOW + 11400)) python scripts/eval_attacker.py \
     --attacker data/br_solver_vs_es7.npz \
     --subject es7=data/policy_6max_es7.npz \
     --family solver_br --save data/solver_br_vs_es7.result.json
@@ -178,7 +178,7 @@ fi
 
 # ---- 3. es8: pool-ES from the Nash-distilled init (VERDICT #8) ----
 if [ -f data/policy_6max_distill.npz ]; then
-  run_job es8 $((NOW + 23400)) python scripts/train_es_kernel.py \
+  run_job es8 $((NOW + 16200)) python scripts/train_es_kernel.py \
     --opponents data/policy_6max_es7.npz,adaptive:3-0,adaptive:3-0@lone,adaptive:1-0,adaptive:1-0@lone,optbot:data/exploitability_opt_es7.json:es7,random \
     --adapt-every 15 --adapt-gens 8 --adapt-popsize 12 \
     --start data/policy_6max_distill.npz \
@@ -195,12 +195,12 @@ if [ -f data/policy_6max_distill.npz ]; then
       --subjects es8=data/policy_6max_es8.npz --save data/fold_gate_es8.json
     commit_artifacts "es8 fold-gate + v2-usage diagnostic" \
       data/fold_gate_es8.json
-    run_job optbot_es8 $((NOW + 26400)) python scripts/opt_bot.py \
+    run_job optbot_es8 $((NOW + 19800)) python scripts/opt_bot.py \
       --subjects es8=data/policy_6max_es8.npz --pairs 3:0,1:0,3:1 \
       --seed 71 --save data/exploitability_opt_es8.json
     commit_artifacts "Adaptive CMA exploitability vs es8" \
       data/exploitability_opt_es8.json
-    run_job probe_es8 $((NOW + 27600)) python scripts/exploit_probe.py \
+    run_job probe_es8 $((NOW + 21000)) python scripts/exploit_probe.py \
       --subjects es8=data/policy_6max_es8.npz \
       --geometry both --save data/exploitability_es8.json
     commit_artifacts "es8 static panel" data/exploitability_es8.json
@@ -211,7 +211,7 @@ else
 fi
 
 # ---- 5. bench warm for the driver's round-end run ----
-run_job bench_b $((NOW + 28800)) python bench.py
+run_job bench_b $((NOW + 22200)) python bench.py
 commit_artifacts "bench warm post-r5b" logs/q_bench_b.log
 
 echo "r5b: ALL DONE $(date -u +%H:%M:%S)"

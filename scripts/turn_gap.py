@@ -67,10 +67,17 @@ def main():
         "untrained=INIT",
     ])
     ap.add_argument("--save", default="data/turn_gap.json")
+    ap.add_argument("--combo-stride", type=int, default=1,
+                    help="subsample the 1081-combo range (the solve is "
+                         "O(C^2) per river; the post-rebuild 1-core "
+                         "host needs stride>=2 — gaps are then "
+                         "measured inside the strided-range game and "
+                         "comparable only to same-stride runs)")
     args = ap.parse_args()
 
     bb = 10.0
-    out = {"iterations": args.iterations, "boards": {}}
+    out = {"iterations": args.iterations,
+           "combo_stride": args.combo_stride, "boards": {}}
 
     def save():
         if args.save:
@@ -83,8 +90,11 @@ def main():
         turn_states, river_states, sizes = turn_river_node_states(
             board4, rivers=[c for c in range(52)
                             if c not in [int(x) for x in board4]])
+        from montecarlo_tpu.models.turn_solver import turn_combos
+        sub = (turn_combos(board4)[::args.combo_stride]
+               if args.combo_stride > 1 else None)
         game, combos = make_turn_river_game(
-            board4, pot=sizes["pot"], bet=sizes["bet"],
+            board4, combos=sub, pot=sizes["pot"], bet=sizes["bet"],
             river_bets=sizes["river_bets"],
             turn_raise=False, river_raise=False)
         nash = solve_turn_river(

@@ -142,6 +142,19 @@ def main():
                          "occasionally kills long runs silently; drive "
                          "with a retry loop — at most center_eval_every "
                          "generations are lost per death)")
+    ap.add_argument("--fold-anchor", default="",
+                    help="fold-preservation leash (es9): .npz with "
+                         "feats rows where the distilled net folds "
+                         "(scripts/make_fold_anchor.py). Shaped fitness "
+                         "= bb/hand + lambda * mean(clipped log P(fold)) "
+                         "over the batch — es8 measured that unleashed "
+                         "ES erases distilled folding within 150 gens "
+                         "(fold-incorrectly leaks 5.56 bb, never-fold "
+                         "only 1.13, and ES shortcuts downhill)")
+    ap.add_argument("--fold-lambda", type=float, default=0.15,
+                    help="leash weight: buried fold (log P ~ -8 clip) "
+                         "costs lambda*8 bb of fitness; healthy fold "
+                         "(~log 0.4) costs lambda*0.9")
     args = ap.parse_args()
 
     cfg = TableConfig(num_seats=args.seats, rules="standard")
@@ -244,6 +257,45 @@ def main():
     if args.mask:
         mask = layer_mask(params0, set(args.mask.split(",")))
 
+    anchor_score = None
+    if args.fold_anchor:
+        anc = np.load(args.fold_anchor)
+        anc_feats = np.asarray(anc["feats"], np.float32)
+        lam = args.fold_lambda
+
+        def anchor_score(p):  # mean clipped log P(fold) on the anchor
+            h = np.maximum(anc_feats @ np.asarray(p.w1)
+                           + np.asarray(p.b1), 0.0)
+            h = np.maximum(h @ np.asarray(p.w2) + np.asarray(p.b2), 0.0)
+            lg = h @ np.asarray(p.w3) + np.asarray(p.b3)
+            z = lg - lg.max(axis=1, keepdims=True)
+            logp = z[:, 0] - np.log(np.exp(z).sum(axis=1))
+            return float(np.maximum(logp, -8.0).mean())
+
+        print(json.dumps({"fold_anchor": args.fold_anchor,
+                          "rows": int(len(anc_feats)),
+                          "lambda": lam,
+                          "start_anchor_logp": round(
+                              anchor_score(params0), 4)}), flush=True)
+
+        if "eval_pop_fn" in eval_kw:
+            base_pop = eval_kw["eval_pop_fn"]
+
+            def leashed_pop(params_list, eval_seed):
+                f, h = base_pop(params_list, eval_seed)
+                pen = np.asarray([anchor_score(p) for p in params_list])
+                return np.asarray(f) + lam * pen, h
+
+            eval_kw["eval_pop_fn"] = leashed_pop
+        else:
+            base_one = eval_kw["eval_fn"]
+
+            def leashed_one(p, eval_seed):
+                f, h = base_one(p, eval_seed)
+                return f + lam * anchor_score(p), h
+
+            eval_kw["eval_fn"] = leashed_one
+
     t0 = time.perf_counter()
 
     def progress(g, mean_fit, best_fit, spread):
@@ -300,9 +352,18 @@ def main():
             if not per:
                 return 0.0
             mean = sum(per.values()) / len(per)
+            extra = {}
+            if anchor_score is not None:
+                # best-center selection must honor the leash too, or the
+                # snapshot argmax quietly picks a defected (never-fold)
+                # center off the leashed trajectory
+                alp = anchor_score(p)
+                extra = {"anchor_logp": round(alp, 4)}
+                mean = mean + args.fold_lambda * alp
             print(json.dumps({"center_bb": round(mean, 4),
                               **{f"center_{n}": round(v, 4)
                                  for n, v in per.items()},
+                              **extra,
                               "elapsed_s": round(
                                   time.perf_counter() - t0, 1)}),
                   flush=True)

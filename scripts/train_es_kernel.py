@@ -27,6 +27,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from montecarlo_tpu.engine.state import TableConfig  # noqa: E402
+from montecarlo_tpu.models.leash import make_anchor_score  # noqa: E402
 from montecarlo_tpu.models.policy_net import (  # noqa: E402
     load_params, save_params,
 )
@@ -259,18 +260,11 @@ def main():
 
     anchor_score = None
     if args.fold_anchor:
-        anc = np.load(args.fold_anchor)
-        anc_feats = np.asarray(anc["feats"], np.float32)
+        # mean clipped log P(fold) on the anchor (models/leash.py —
+        # host-side NumPy mirror of policy_logits, pinned by
+        # tests/test_leash.py)
+        anchor_score, anc_feats = make_anchor_score(args.fold_anchor)
         lam = args.fold_lambda
-
-        def anchor_score(p):  # mean clipped log P(fold) on the anchor
-            h = np.maximum(anc_feats @ np.asarray(p.w1)
-                           + np.asarray(p.b1), 0.0)
-            h = np.maximum(h @ np.asarray(p.w2) + np.asarray(p.b2), 0.0)
-            lg = h @ np.asarray(p.w3) + np.asarray(p.b3)
-            z = lg - lg.max(axis=1, keepdims=True)
-            logp = z[:, 0] - np.log(np.exp(z).sum(axis=1))
-            return float(np.maximum(logp, -8.0).mean())
 
         print(json.dumps({"fold_anchor": args.fold_anchor,
                           "rows": int(len(anc_feats)),
